@@ -1,0 +1,71 @@
+"""Benchmark: MaskFlownet-S training throughput on the attached TPU chip.
+
+Measures end-to-end train-step samples/s (augmentation + forward + multiscale
+loss + grad + Adam in one compiled program) at the FlyingChairs stage shape
+(batch 8, 320x448 crops) and compares against the reference MXNet figure of
+~25 samples/s on a single multi-GPU host (BASELINE.md: total_time=0.16-0.21
+s/step at batch 4; chairs stage runs batch 8).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_SAMPLES_PER_S = 25.0
+
+
+def main():
+    import jax
+
+    from maskflownet_tpu.augment import ColorAugConfig, GeometryAugConfig
+    from maskflownet_tpu.config import presets
+    from maskflownet_tpu.models import ModelConfig
+    from maskflownet_tpu.training import Trainer, TrainSettings
+
+    th, tw = 320, 448   # chairs target_shape
+    oh, ow = 384, 512   # chairs orig_shape
+    batch = 8
+
+    settings = TrainSettings(
+        model="MaskFlownet_S",
+        model_cfg=ModelConfig(),
+        compute_dtype="bfloat16",
+        target_shape=(th, tw),
+        orig_shape=(oh, ow),
+        geo=presets.geometry_aug_config("chairs", (th, tw), (oh, ow)),
+        color=presets.color_aug_config("chairs"),
+    )
+    trainer = Trainer(settings)
+
+    rng = np.random.RandomState(0)
+    img1 = rng.randint(0, 255, (batch, oh, ow, 3)).astype(np.uint8)
+    img2 = rng.randint(0, 255, (batch, oh, ow, 3)).astype(np.uint8)
+    flow = (rng.randn(batch, oh, ow, 2) * 4).astype(np.float32)
+
+    # warmup / compile
+    for _ in range(3):
+        m = trainer.train_batch(img1, img2, flow, lr=1e-4)
+    assert np.isfinite(m["loss"]), m
+
+    n_steps = 20
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        m = trainer.train_batch(img1, img2, flow, lr=1e-4)
+    dt = time.perf_counter() - t0
+
+    samples_per_s = batch * n_steps / dt
+    print(json.dumps({
+        "metric": "maskflownet_s_train_throughput_chairs_b8",
+        "value": round(samples_per_s, 2),
+        "unit": "samples/s/chip",
+        "vs_baseline": round(samples_per_s / BASELINE_SAMPLES_PER_S, 3),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,202 @@
+"""Device-side geometric augmentation (batched random affines, NHWC).
+
+Capability parity with the reference ``GeometryAugmentation``
+(``augmentation.py:229-339``): per-sample random rotation/zoom/aspect/
+translation applied to the (img1, img2, flow, mask) tuple, an independent
+*relative* affine + translation applied to img2 only, out-of-bounds
+"force translation" correction, joint warping of [img1, mask, flow*mask]
+with mask renormalization, and the induced transform of the flow *vectors*.
+
+The parameter distributions replicate the reference exactly. The flow-vector
+transform is re-derived in pixel space rather than transliterated: with
+target->source pixel maps T1 (img1) and T2 (img2), correspondence
+``img1(q) ~ img2(q + F(q))`` induces
+
+    F'(p) = T2^{-1}( T1(p) + F~(p) ) - p
+
+where ``F~`` is the flow resampled through T1 (mask-renormalized). This is
+exact for any affine pair, including aspect ratios and the relative
+translation (the reference handles the latter by pre-subtracting it from the
+flow, ``augmentation.py:299-303``, which is algebraically the same since
+sampling is linear). Correctness is property-tested: warping img2_aug by
+flow_aug reproduces img1_aug on valid pixels (tests/test_augment.py).
+
+Runs inside the jitted train step; all shapes static, PRNG threaded
+explicitly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+
+from maskflownet_tpu.ops.warp import grid_sample_normalized
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class GeometryAugConfig:
+    angle_range: tuple[float, float] = (-17.0, 17.0)  # degrees
+    zoom_range: tuple[float, float] = (1 / 1.5, 1 / 0.9)
+    aspect_range: tuple[float, float] | None = (0.9, 1 / 0.9)
+    translation_range: float = 0.1
+    target_shape: tuple[int, int] = (320, 448)  # (H, W)
+    orig_shape: tuple[int, int] = (384, 512)
+    relative_angle: float | None = 0.25
+    relative_scale: tuple[float, float] = (0.96, 1 / 0.96)
+    relative_translation: float | None = 0.25
+
+
+def _uniform(key, lo, hi, shape=()):
+    return jax.random.uniform(key, shape, jnp.float32, lo, hi)
+
+
+def geometry_augmentation(key: Array, img1: Array, img2: Array, flow: Array,
+                          mask: Array, cfg: GeometryAugConfig):
+    """img1/img2: (B, oh, ow, 3); flow: (B, oh, ow, 2) (dy, dx) source px;
+    mask: (B, oh, ow, 1) in [0,1] (or broadcastable). Returns the augmented
+    tuple at ``cfg.target_shape`` resolution."""
+    b, oh, ow, _ = img1.shape
+    th, tw = cfg.target_shape
+    assert (oh, ow) == tuple(cfg.orig_shape), (img1.shape, cfg.orig_shape)
+
+    ks = jax.random.split(key, 10)
+    deg = math.pi / 180.0
+
+    # ---- base transform parameters (distributions: augmentation.py:272-285)
+    rot = _uniform(ks[0], cfg.angle_range[0] * deg, cfg.angle_range[1] * deg, (b,))
+    if cfg.aspect_range is not None:
+        aspect = _uniform(ks[1], *cfg.aspect_range, (b,))
+    else:
+        aspect = jnp.ones((b,), jnp.float32)
+    scale = _uniform(ks[2], *cfg.zoom_range, (b,))
+    osy, osx = oh - 1.0, ow - 1.0
+    tsy, tsx = th - 1.0, tw - 1.0
+    ar = jnp.abs(rot)
+    # clamp so the rotated crop fits inside the source (augmentation.py:277-279)
+    scale = jnp.minimum(scale, osx / (aspect * (tsy * jnp.sin(ar) + tsx * jnp.cos(ar))))
+    scale = jnp.minimum(scale, osy / (tsy * jnp.cos(ar) + tsx * jnp.sin(ar)))
+
+    unit_xx = tsx / osx
+    unit_yx = tsy / osx  # row-in-target per col-in-source coupling units
+    unit_xy = tsx / osy
+    unit_yy = tsy / osy
+    pad_x = 1 - scale * unit_xx
+    pad_y = 1 - scale * unit_yy
+    tr2 = (-2 * cfg.translation_range, 2 * cfg.translation_range)
+    tx = _uniform(ks[3], -1, 1, (b,)) * pad_x + _uniform(ks[4], *tr2, (b,))
+    ty = _uniform(ks[5], -1, 1, (b,)) * pad_y + _uniform(ks[6], *tr2, (b,))
+
+    # normalized-coords affine rows [a, b, tx, c, d, ty] (augmentation.py:283-285)
+    a1 = jnp.stack([
+        scale * aspect * jnp.cos(rot) * unit_xx,
+        scale * aspect * (-jnp.sin(rot)) * unit_yx,
+        tx,
+        scale * jnp.sin(rot) * unit_xy,
+        scale * jnp.cos(rot) * unit_yy,
+        ty,
+    ], axis=1)
+
+    # ---- relative transform for img2 (augmentation.py:253-269)
+    if cfg.relative_angle is not None:
+        rel_rng = (cfg.angle_range[0] * deg * cfg.relative_angle,
+                   cfg.angle_range[1] * deg * cfg.relative_angle)
+        rrot = _uniform(ks[7], *rel_rng, (b,))
+        rscale = _uniform(ks[8], *cfg.relative_scale, (b,))
+    else:
+        rrot = jnp.zeros((b,), jnp.float32)
+        rscale = jnp.ones((b,), jnp.float32)
+    arel = tsy / tsx  # target aspect (augmentation.py:254)
+    # a2 = a1 (2x3) @ rel (3x3)
+    rel = jnp.stack([
+        rscale * jnp.cos(rrot), rscale * (-jnp.sin(rrot)) * arel, jnp.zeros((b,)),
+        rscale * jnp.sin(rrot) / arel, rscale * jnp.cos(rrot), jnp.zeros((b,)),
+        jnp.zeros((b,)), jnp.zeros((b,)), jnp.ones((b,)),
+    ], axis=1).reshape(b, 3, 3)
+    a2 = jnp.einsum("bij,bjk->bik", a1.reshape(b, 2, 3), rel).reshape(b, 6)
+
+    if cfg.relative_translation is not None:
+        rt = 2 * cfg.translation_range * cfg.relative_translation
+        rel_t = _uniform(ks[9], -rt, rt, (b, 2))  # normalized (x, y)
+    else:
+        rel_t = jnp.zeros((b, 2), jnp.float32)
+
+    # ---- grids + force-translation correction (augmentation.py:306-309)
+    def make_grid(theta):
+        ys = jnp.linspace(-1.0, 1.0, th)
+        xs = jnp.linspace(-1.0, 1.0, tw)
+        y_t, x_t = jnp.meshgrid(ys, xs, indexing="ij")
+        gx = theta[:, 0, None, None] * x_t + theta[:, 1, None, None] * y_t + theta[:, 2, None, None]
+        gy = theta[:, 3, None, None] * x_t + theta[:, 4, None, None] * y_t + theta[:, 5, None, None]
+        return gx, gy
+
+    g1x, g1y = make_grid(a1)
+    ftx = (jnp.maximum(g1x.max(axis=(1, 2)) - 1, 0)
+           + jnp.minimum(g1x.min(axis=(1, 2)) + 1, 0))
+    fty = (jnp.maximum(g1y.max(axis=(1, 2)) - 1, 0)
+           + jnp.minimum(g1y.min(axis=(1, 2)) + 1, 0))
+    g1x = jnp.clip(g1x - ftx[:, None, None], -1, 1)
+    g1y = jnp.clip(g1y - fty[:, None, None], -1, 1)
+
+    g2x, g2y = make_grid(a2)
+    g2x = g2x - ftx[:, None, None] + rel_t[:, 0, None, None]
+    g2y = g2y - fty[:, None, None] + rel_t[:, 1, None, None]
+
+    # ---- joint sampling of img1 / mask / flow*mask (augmentation.py:305-314)
+    mask_b = jnp.broadcast_to(mask.astype(jnp.float32), flow.shape[:3] + (1,))
+    packed = jnp.concatenate(
+        [img1, mask_b, flow.astype(jnp.float32) * mask_b], axis=-1)
+    packed = grid_sample_normalized(packed, g1x, g1y)
+    img1_a = packed[..., 0:3]
+    mask_a = packed[..., 3:4]
+    flow_s = packed[..., 4:6] / jnp.maximum(mask_a, 1e-8)  # (dy, dx)
+
+    img2_a = grid_sample_normalized(img2, g2x, g2y)
+
+    # ---- induced flow-vector transform: F'(p) = T2^-1(T1 p + F~) - p ----
+    # pixel-space maps from the normalized affines actually used for sampling
+    # (x, y) order for the matrix algebra; flow channels are (dy, dx).
+    cx_t, cy_t = tsx / 2.0, tsy / 2.0
+    cx_o, cy_o = osx / 2.0, osy / 2.0
+
+    def to_pixel(theta, add_ftx, add_fty, add_rel):
+        # p_norm = ((px - cx)/cx, (py - cy)/cy); q_px = (g + 1) * c_o
+        m = theta.reshape(b, 2, 3)
+        lin = m[:, :, :2]  # rows: (gx; gy) from (x_t, y_t)
+        t_n = m[:, :, 2]
+        t_n = t_n - jnp.stack([add_ftx, add_fty], axis=1)
+        if add_rel:
+            t_n = t_n + rel_t
+        d_t = jnp.asarray([[1.0 / cx_t, 0.0], [0.0, 1.0 / cy_t]])
+        d_o = jnp.stack([lin[:, 0] * cx_o, lin[:, 1] * cy_o], axis=1)  # rows scaled
+        m_px = jnp.einsum("bij,jk->bik", d_o, d_t)
+        # q = m_px @ (p - c_t) + (t_n + 1) * c_o
+        t_px = (t_n + 1.0) * jnp.asarray([cx_o, cy_o])
+        # fold center: q = m_px @ p + (t_px - m_px @ c_t)
+        c_t = jnp.asarray([cx_t, cy_t])
+        t_full = t_px - jnp.einsum("bij,j->bi", m_px, c_t)
+        return m_px, t_full
+
+    m1, t1 = to_pixel(a1, ftx, fty, False)
+    m2, t2 = to_pixel(a2, ftx, fty, True)
+
+    det = m2[:, 0, 0] * m2[:, 1, 1] - m2[:, 0, 1] * m2[:, 1, 0]
+    inv2 = jnp.stack([
+        jnp.stack([m2[:, 1, 1], -m2[:, 0, 1]], axis=1),
+        jnp.stack([-m2[:, 1, 0], m2[:, 0, 0]], axis=1),
+    ], axis=1) / det[:, None, None]
+
+    py = jax.lax.broadcasted_iota(jnp.float32, (1, th, tw), 1)
+    px = jax.lax.broadcasted_iota(jnp.float32, (1, th, tw), 2)
+    p = jnp.stack([px + jnp.zeros((b, 1, 1)), py + jnp.zeros((b, 1, 1))], axis=-1)  # (b,th,tw,2) xy
+    f_xy = jnp.stack([flow_s[..., 1], flow_s[..., 0]], axis=-1)
+    q = (jnp.einsum("bij,bhwj->bhwi", m1, p) + t1[:, None, None, :] + f_xy)
+    newp = jnp.einsum("bij,bhwj->bhwi", inv2, q - t2[:, None, None, :])
+    f_new_xy = newp - p
+    flow_a = jnp.stack([f_new_xy[..., 1], f_new_xy[..., 0]], axis=-1)  # (dy, dx)
+
+    return img1_a, img2_a, flow_a, mask_a

@@ -1,0 +1,371 @@
+"""Training/validation/prediction driver.
+
+CLI surface mirrors the reference (``main.py:28-57``; README usage
+``python main.py MaskFlownet_S.yaml [--dataset_cfg chairs.yaml] [-c CKPT]
+[--clear_steps] [--debug|--valid|--predict] [--resize H,W]``), re-hosted as
+``python -m maskflownet_tpu.cli.main``. Device selection flags are replaced
+by the JAX mesh (all visible devices; multi-host via MFN_COORDINATOR /
+MFN_NUM_PROCESSES / MFN_PROCESS_ID env vars).
+
+Flow: parse args -> load network+dataset YAML -> resolve run-id/checkpoint
+(regex registry, reference ``path.py``) -> build Trainer -> load datasets
+into RAM per the dataset config (``main.py:192-365``) -> threaded sharded
+loader -> infinite train loop with piecewise LR, periodic validation,
+checkpoint rotation of 3 (``main.py:513-556``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import threading
+from queue import Queue
+from timeit import default_timer
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("config", type=str, nargs="?", default=None)
+    p.add_argument("--dataset_cfg", type=str, default="chairs.yaml")
+    p.add_argument("-b", "--batch", type=int, default=None,
+                   help="global batch size (default: dataset preset)")
+    p.add_argument("-s", "--shard", type=int, default=1,
+                   help="load 1/shard of things3d")
+    p.add_argument("-c", "--checkpoint", type=str, default=None,
+                   help="checkpoint (run prefix[:steps]) to resume from")
+    p.add_argument("--clear_steps", action="store_true")
+    p.add_argument("-n", "--network", type=str, default="MaskFlownet")
+    p.add_argument("--debug", action="store_true",
+                   help="load only 32 samples per dataset (smoke test)")
+    p.add_argument("--valid", action="store_true")
+    p.add_argument("--predict", action="store_true")
+    p.add_argument("--resize", type=str, default="")
+    p.add_argument("--root", type=str, default=".",
+                   help="experiment root (logs/ weights/ flows/)")
+    p.add_argument("--compute_dtype", type=str, default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    return p.parse_args(argv)
+
+
+def build_settings(args, config, dataset_cfg):
+    from maskflownet_tpu.config import presets
+    from maskflownet_tpu.models import ModelConfig
+    from maskflownet_tpu.training import TrainSettings
+
+    dataset = dataset_cfg.dataset.value
+    orig_shape = dataset_cfg.orig_shape.get(list(presets.ORIG_SHAPE[dataset]))
+    target_shape = dataset_cfg.target_shape.get(
+        [s + (64 - s) % 64 for s in orig_shape])
+    model_name = getattr(config.network, "class").get("MaskFlownet")
+    model_cfg = ModelConfig(
+        flow_multiplier=config.network.flow_multiplier.get(1.0),
+        deform_bias=config.network.deform_bias.get(True),
+        upfeat_ch=tuple(config.network.upfeat_ch.get([16, 16, 16, 16])))
+    mw = config.network.mw.get([0.005, 0.01, 0.02, 0.08, 0.32])
+    if len(mw) != 5:
+        mw = [0.005, 0.01, 0.02, 0.08, 0.32]
+    return TrainSettings(
+        model=model_name,
+        model_cfg=model_cfg,
+        q=config.optimizer.q.get(None),
+        loss_weights=tuple(mw),
+        fix_head=(model_name == "MaskFlownet"),
+        compute_dtype=args.compute_dtype,
+        target_shape=tuple(target_shape),
+        orig_shape=tuple(orig_shape),
+        geo=presets.geometry_aug_config(dataset, target_shape, orig_shape),
+        color=presets.color_aug_config(dataset),
+    )
+
+
+def load_training_data(args, dataset_cfg, batch_size):
+    """Dataset branches of the reference driver (``main.py:192-365``).
+    Returns (training_datasets, validation_datasets, orig_shape)."""
+    from maskflownet_tpu.config import presets
+    from maskflownet_tpu.data import (Dataset, chairs, hd1k, kitti, sintel,
+                                      things3d)
+
+    name = dataset_cfg.dataset.value
+    samples = 32 if args.debug else -1
+    validation = {}
+
+    if name == "chairs":
+        orig_shape = presets.ORIG_SHAPE["chairs"]
+        train_set, val_set = chairs.read_trainval()
+        tr = chairs.load_set(train_set, samples=samples)
+        train = [Dataset(tr)] * batch_size
+        va = chairs.load_set(val_set, samples=samples)
+        validation["chairs"] = (va[0], va[1], va[2], None)
+        sd = sintel.list_data()
+        divs = ("training",) if args.network != "MaskFlownet" else ("training2",)
+        for div in divs:
+            for k, ds in sd[div].items():
+                ds = ds[:samples] if samples != -1 else ds
+                if not ds:
+                    continue
+                img1, img2, flow, mask = [[sintel.load(p) for p in col]
+                                          for col in zip(*ds)]
+                validation["sintel." + k] = (img1, img2, flow, mask)
+
+    elif name == "things3d":
+        orig_shape = presets.ORIG_SHAPE["things3d"]
+        sub_type = dataset_cfg.sub_type.get("clean")
+        listing = things3d.list_data(sub_type=sub_type)
+        sl = slice(None, samples if samples != -1 else None, args.shard)
+        from maskflownet_tpu.data import codecs
+        img0 = [codecs.image_load(f) for f in listing["image_0"][sl]]
+        img1 = [codecs.image_load(f) for f in listing["image_1"][sl]]
+        flow = [things3d.load(f).astype(np.float16)
+                for f in listing["flow"][sl]]
+        train = [Dataset((img0, img1, flow))] * batch_size
+        _, val_set = chairs.read_trainval()
+        va = chairs.load_set(val_set, samples=samples)
+        validation["chairs"] = (va[0], va[1], va[2], None)
+
+    elif name == "sintel":
+        orig_shape = [436, dataset_cfg.resize_shape.get(436) and 436][0], 1024
+        orig_shape = (436, 1024)
+        num_kitti = dataset_cfg.kitti.get(0)
+        num_hd1k = dataset_cfg.hd1k.get(0)
+        subsets = ("training" if dataset_cfg.train_all.get(False)
+                   else "training1", "training2")
+        sd = sintel.list_data()
+        cols = [[], [], [], []]
+        for k, ds in sd[subsets[0]].items():
+            ds = ds[:samples] if samples != -1 else ds
+            for col, acc in zip(zip(*ds), cols):
+                acc.extend(sintel.load(p) for p in col)
+        train = [Dataset(tuple(cols))] * (batch_size - num_kitti - num_hd1k)
+        resize = (1024, dataset_cfg.resize_shape.get(436))
+        if num_kitti > 0:
+            d = kitti.read_dataset(resize=resize, samples=None if samples == -1 else samples,
+                                   editions="2015")
+            train += [Dataset((d["image_0"], d["image_1"], d["flow"],
+                               d["occ"]))] * num_kitti
+        if num_hd1k > 0:
+            d = hd1k.read_dataset(resize=resize, samples=samples)
+            train += [Dataset((d["image_0"], d["image_1"], d["flow"],
+                               d["occ"]))] * num_hd1k
+        for k, ds in sd[subsets[1]].items():
+            ds = ds[:samples] if samples != -1 else ds
+            if not ds:
+                continue
+            img1, img2, flow, mask = [[sintel.load(p) for p in col]
+                                      for col in zip(*ds)]
+            validation["sintel." + k] = (img1, img2, flow, mask)
+
+    elif name == "kitti":
+        orig_shape = tuple(dataset_cfg.orig_shape.get([370, 1224]))
+        resize = (orig_shape[1], orig_shape[0])
+        parts = "mixed" if dataset_cfg.train_all.get(False) else "train"
+        d = kitti.read_dataset(editions="mixed", parts=parts,
+                               samples=None if samples == -1 else samples,
+                               resize=resize)
+        train = [Dataset((d["image_0"], d["image_1"], d["flow"],
+                          d["occ"]))] * batch_size
+        for ed in ("2012", "2015"):
+            dv = kitti.read_dataset(editions=ed, parts="valid",
+                                    samples=None if samples == -1 else samples,
+                                    resize=resize)
+            validation["kitti." + ed[-2:]] = (dv["image_0"], dv["image_1"],
+                                              dv["flow"], dv["occ"])
+    else:
+        raise NotImplementedError(name)
+
+    # mixed sources may differ in channel count of the mask column; training
+    # datasets either all have masks or none (reference adds a 255 mask
+    # implicitly in train_batch)
+    return train, validation, tuple(dataset_cfg.orig_shape.get(list(orig_shape)))
+
+
+def run_validation(trainer, validation, batch_size, resize):
+    out = {}
+    for vname, (i1, i2, fl, mk) in validation.items():
+        kind = "kitti" if vname.startswith("kitti") else "epe"
+        epe = trainer.validate(i1, i2, fl, mk, batch_size=batch_size,
+                               resize=resize, return_type="epe")
+        out[vname] = epe
+        if kind == "kitti":
+            out[vname + ":kitti"] = trainer.validate(
+                i1, i2, fl, mk, batch_size=batch_size, resize=resize,
+                return_type="kitti")
+    return out
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    import jax
+
+    from maskflownet_tpu.config import load_config
+    from maskflownet_tpu.training import (DictMovingAverage, FileLog,
+                                          MovingAverage, Trainer,
+                                          find_checkpoints, find_log,
+                                          generate_run_id, lr_at_step)
+    from maskflownet_tpu.parallel import initialize_distributed, make_mesh
+
+    initialize_distributed(
+        os.environ.get("MFN_COORDINATOR"),
+        int(os.environ.get("MFN_NUM_PROCESSES", "1")),
+        int(os.environ.get("MFN_PROCESS_ID", "0")))
+
+    config = load_config(args.config)
+    dataset_cfg = load_config(args.dataset_cfg)
+    validation_steps = dataset_cfg.validation_steps.get(2500)
+    checkpoint_steps = dataset_cfg.checkpoint_steps.get(5000)
+
+    root = args.root
+    for d in ("logs", os.path.join("logs", "val"), os.path.join("logs", "debug"),
+              "weights", "flows"):
+        os.makedirs(os.path.join(root, d), exist_ok=True)
+
+    # checkpoint resolution (reference main.py:79-116)
+    steps = 0
+    checkpoint = None
+    if args.checkpoint is not None:
+        prefix, _, want = args.checkpoint.partition(":")
+        _, run_id = find_log(root, prefix)
+        cks = find_checkpoints(root, run_id)
+        if want:
+            match = [c for c in cks if c[1] == int(want)]
+            if not match:
+                raise SystemExit(f"steps {want} not found in {cks}")
+            checkpoint, steps = match[0]
+        else:
+            checkpoint, steps = cks[-1]
+        if args.clear_steps:
+            steps = 0
+    if args.checkpoint is None or args.clear_steps:
+        _, run_id = generate_run_id(str(jax.device_count()))
+
+    dataset_name = dataset_cfg.dataset.value
+    from maskflownet_tpu.config import presets
+    batch_size = args.batch or presets.BATCH_SIZE[dataset_name]
+    settings = build_settings(args, config, dataset_cfg)
+    mesh = make_mesh()
+    trainer = Trainer(settings, mesh=mesh)
+
+    if checkpoint is not None:
+        print(f"Load checkpoint {checkpoint}")
+        network_class = getattr(config.network, "class").get("MaskFlownet")
+        if (network_class == "MaskFlownet" and args.clear_steps
+                and dataset_name == "chairs"):
+            trainer.load_head(checkpoint)
+        else:
+            trainer.load(checkpoint, load_states=not (
+                args.valid or args.predict or args.clear_steps))
+        trainer.steps = steps
+
+    infer_resize = tuple(int(s) for s in args.resize.split(",")) if args.resize else None
+
+    if args.predict:
+        from maskflownet_tpu.tools import submission
+        ck_name = os.path.basename(checkpoint).replace(".npz", "")
+        submission.predict_all(trainer, os.path.join(root, "flows", ck_name),
+                               batch_size=batch_size, resize=infer_resize)
+        return 0
+
+    if args.valid:
+        from maskflownet_tpu.data import kitti, sintel
+        log = FileLog(os.path.join(root, "logs", "val",
+                                   f"{run_id}.val.log"), screen=True)
+        sd = sintel.list_data()
+        for div in ("training2", "training"):
+            for k, ds in sd[div].items():
+                img1, img2, flow, mask = [[sintel.load(p) for p in col]
+                                          for col in zip(*ds)]
+                epe = trainer.validate(img1, img2, flow, mask,
+                                       batch_size=batch_size, resize=infer_resize)
+                log.log(f"steps={trainer.steps}, sintel.{div}.{k}:epe={epe}")
+        for ed in ("2012", "2015"):
+            d = kitti.read_dataset(editions=ed, parts="mixed",
+                                   resize=(1224, 370))
+            args4 = (d["image_0"], d["image_1"], d["flow"], d["occ"])
+            epe = trainer.validate(*args4, batch_size=batch_size,
+                                   resize=infer_resize, return_type="epe")
+            log.log(f"steps={trainer.steps}, kitti.{ed}:epe={epe}")
+            fl = trainer.validate(*args4, batch_size=batch_size,
+                                  resize=infer_resize, return_type="kitti")
+            log.log(f"steps={trainer.steps}, kitti.{ed}:kitti={fl}")
+        log.close()
+        return 0
+
+    # ---- training ----
+    t0 = default_timer()
+    train_datasets, validation, orig_shape = load_training_data(
+        args, dataset_cfg, batch_size)
+    print(f"Loaded data in {default_timer() - t0:.1f}s")
+
+    from maskflownet_tpu.data import TrainLoader
+    loader = TrainLoader(train_datasets, batch_size, settings.orig_shape,
+                         seed=jax.process_index(),
+                         shard_index=jax.process_index(),
+                         num_shards=jax.process_count())
+
+    log = FileLog(os.path.join(
+        root, "logs", "debug" if args.debug else "", f"{run_id}.log"))
+    log.log(f"start={trainer.steps}, train={sum(len(d) for d in train_datasets)}, "
+            f"batch={batch_size}, devices={jax.device_count()}")
+    log.log(", ".join(f"{k}={v!r}" for k, v in vars(args).items()))
+
+    lr_schedule = dataset_cfg.optimizer.learning_rate.get(None) \
+        or config.optimizer.learning_rate.value
+    train_avg = DictMovingAverage()
+    loading_time = MovingAverage()
+    total_time = MovingAverage()
+    checkpoints: list[str] = []
+    remove_queue: Queue = Queue(maxsize=50)
+
+    def remove_files():
+        while True:
+            f = remove_queue.get()
+            try:
+                os.remove(f)
+            except OSError as e:
+                log.log(f"Remove failed: {e}")
+
+    threading.Thread(target=remove_files, daemon=True).start()
+
+    t1 = None
+    while True:
+        lr = lr_at_step(lr_schedule, trainer.steps + 1)
+        if lr is None:
+            log.log(f"schedule exhausted at step {trainer.steps}")
+            return 0
+        t0 = default_timer()
+        if t1:
+            total_time.update(t0 - t1)
+        t1 = t0
+        batch = loader.get()
+        loading_time.update(default_timer() - t0)
+        if len(batch) == 4:
+            img1, img2, flow, mask = batch
+        else:
+            (img1, img2, flow), mask = batch, None
+        metrics = trainer.train_batch(img1, img2, flow, mask, lr=lr)
+        steps = trainer.steps
+        if steps <= 20 or steps % 50 == 0:
+            train_avg.update(metrics)
+            log.log("steps={}{}, total_time={:.2f}".format(
+                steps, "".join(f", {k}={v}" for k, v in
+                               train_avg.average.items()),
+                total_time.average))
+        if steps % validation_steps == 0 or steps <= 1:
+            if validation:
+                val = run_validation(trainer, validation, batch_size,
+                                     infer_resize)
+                log.log("steps={}{}".format(
+                    steps, "".join(f", {k}={v}" for k, v in val.items())))
+            if steps % checkpoint_steps == 0 and jax.process_index() == 0:
+                prefix = os.path.join(root, "weights", f"{run_id}_{steps}")
+                trainer.save(prefix)
+                checkpoints.append(prefix)
+                while len(checkpoints) > 3:
+                    old = checkpoints.pop(0)
+                    remove_queue.put(old + ".npz")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,143 @@
+"""Host-side input pipeline: shuffled per-dataset streams, random crop +
+horizontal flip, fixed-ratio batch mixing, threaded prefetch.
+
+Replicates the reference loader semantics (``main.py:421-509``):
+  * per-dataset daemon thread yielding shuffled epochs,
+  * random crop to ``orig_shape`` when the source frame is larger,
+  * 50% horizontal flip with dx-negation (the reference comment says
+    "vertical" but flips the W axis, ``main.py:474-477``; here flow is
+    (dy, dx) so channel 1 is negated),
+  * a mixer assembling batches with a fixed per-dataset sample count
+    (dataset mixing by list replication, ``main.py:244-260``),
+  * bounded queues for prefetch.
+
+TPU-native extensions: per-host sharding for multi-host data parallelism
+(each host keeps every ``num_shards``-th epoch index, offset by its
+``shard_index`` -- replacing ``split_and_load``), and NHWC output (the device
+step consumes uint8 NHWC and normalizes on device).
+
+The crop/flip gather runs in the native C++ runtime when available.
+"""
+
+from __future__ import annotations
+
+import threading
+from queue import Queue
+
+import numpy as np
+
+
+class Dataset:
+    """One training source: parallel lists of per-sample arrays or file
+    paths with a ``load`` callable. ``arrays`` entries are (img1, img2, flow)
+    or (img1, img2, flow, mask)."""
+
+    def __init__(self, arrays: tuple, load=None):
+        self.arrays = arrays
+        self.load = load
+
+    def __len__(self):
+        return len(self.arrays[0])
+
+    def get(self, i: int) -> list[np.ndarray]:
+        items = [a[i] for a in self.arrays]
+        if self.load is not None:
+            items = [self.load(x) if isinstance(x, str) else x for x in items]
+        return items
+
+
+def _crop_flip(items: list[np.ndarray], orig_shape, rng: np.random.RandomState,
+               lib=None) -> list[np.ndarray]:
+    """Random crop to orig_shape + 50% horizontal flip. items are HWC;
+    item 2 is flow (dy, dx)."""
+    oh, ow = orig_shape
+    sh, sw = items[0].shape[:2]
+    space_y, space_x = sh - oh, sw - ow
+    y0 = rng.randint(space_y) if space_y else 0
+    x0 = rng.randint(space_x) if space_x else 0
+    flip = bool(rng.randint(2))
+    out = []
+    for idx, arr in enumerate(items):
+        if lib is not None and arr.flags.c_contiguous and arr.dtype in (
+                np.uint8, np.float32):
+            c = arr.shape[2] if arr.ndim == 3 else 1
+            dst = np.empty((oh, ow, c), arr.dtype)
+            fn = lib.crop_u8 if arr.dtype == np.uint8 else lib.crop_f32
+            fn(arr.ctypes.data, sh, sw, c, y0, x0, oh, ow, int(flip),
+               dst.ctypes.data)
+            a = dst
+        else:
+            a = arr[y0:y0 + oh, x0:x0 + ow]
+            if flip:
+                a = a[:, ::-1]
+            a = np.ascontiguousarray(a)
+        out.append(a)
+    if flip:
+        out[2] = np.stack([out[2][..., 0], -out[2][..., 1]], axis=-1)
+    return out
+
+
+def iterate_data(queue: Queue, dataset: Dataset, orig_shape, seed: int,
+                 shard_index: int = 0, num_shards: int = 1) -> None:
+    """Producer thread: shuffled epochs, sharded across hosts, crop+flip."""
+    from maskflownet_tpu import native
+    lib = native.load()
+    rng = np.random.RandomState(seed)
+    n = len(dataset)
+    indices = np.arange(n)
+    while True:
+        rng.shuffle(indices)
+        for i in indices[shard_index::num_shards]:
+            items = dataset.get(int(i))
+            items = [np.asarray(a) for a in items]
+            if items[2].dtype == np.float16:
+                items[2] = items[2].astype(np.float32)
+            queue.put(_crop_flip(items, orig_shape, rng, lib))
+
+
+def batch_samples(in_queues: list[Queue], out_queue: Queue,
+                  batch_size: int) -> None:
+    """Mixer thread: fixed-ratio assembly (reference ``main.py:480-486``)."""
+    per = batch_size // len(in_queues)
+    while True:
+        batch = []
+        for q in in_queues:
+            for _ in range(per):
+                batch.append(q.get())
+        out_queue.put([np.stack(x, axis=0) for x in zip(*batch)])
+
+
+class TrainLoader:
+    """Threaded, sharded training loader.
+
+    ``datasets`` is a list of :class:`Dataset` (replicated entries give the
+    mixing ratio, like the reference's ``training_datasets`` list).
+    """
+
+    def __init__(self, datasets: list[Dataset], batch_size: int,
+                 orig_shape: tuple[int, int], seed: int = 0,
+                 shard_index: int = 0, num_shards: int = 1,
+                 queue_depth: int = 100, batch_depth: int = 10):
+        assert batch_size % len(datasets) == 0, \
+            (batch_size, len(datasets))
+        self.batch_queue: Queue = Queue(maxsize=batch_depth)
+        self._queues = [Queue(maxsize=queue_depth) for _ in datasets]
+        self._threads = []
+        for k, (q, ds) in enumerate(zip(self._queues, datasets)):
+            t = threading.Thread(
+                target=iterate_data,
+                args=(q, ds, orig_shape, seed * 1000 + k, shard_index,
+                      num_shards),
+                daemon=True)
+            t.start()
+            self._threads.append(t)
+        t = threading.Thread(
+            target=batch_samples,
+            args=(self._queues, self.batch_queue, batch_size), daemon=True)
+        t.start()
+        self._threads.append(t)
+
+    def get(self):
+        """Next batch: [img1, img2, flow] or [img1, img2, flow, mask],
+        stacked NHWC."""
+        return self.batch_queue.get()

@@ -1,0 +1,48 @@
+"""FlyingThings3D-subset reader (reference ``reader/things3d.py``).
+
+Path-only listing over {clean,final} x {left,right} x {into_future,into_past}
+with the +/-1 frame pairing; flow is loaded lazily (optionally float16, the
+dataset is ~400 GB in f16 -- reference ``main.py:278-284``).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+
+import numpy as np
+
+from maskflownet_tpu.data import codecs, paths
+
+SHAPE = (540, 960)
+
+
+def list_data(root: str | None = None, sub_type: str = "clean") -> dict:
+    root = root or paths.things3d_root()
+    sub_types = ("clean", "final") if sub_type == "mixed" else (sub_type,)
+    dataset = {"image_0": [], "image_1": [], "flow": []}
+    for part in ("train",):
+        for st in sub_types:
+            for camera in ("left", "right"):
+                for orient in ("into_future", "into_past"):
+                    flow_ind = 1 if orient == "into_future" else -1
+                    path_image = os.path.join(root, part, "image_" + st, camera)
+                    path_flow = os.path.join(root, part, "flow", camera, orient)
+                    if not os.path.isdir(path_flow):
+                        continue
+                    for f in sorted(os.listdir(path_flow)):
+                        dataset["flow"].append(os.path.join(path_flow, f))
+                        img = f.replace("flo", "png")
+                        dataset["image_0"].append(os.path.join(path_image, img))
+                        ind = int(f[-11:-4])
+                        dataset["image_1"].append(os.path.join(
+                            path_image,
+                            img.replace("%07d" % ind, "%07d" % (ind + flow_ind))))
+    return dataset
+
+
+@lru_cache(maxsize=None)
+def load(fname: str) -> np.ndarray:
+    if fname.endswith("flo"):
+        return codecs.read_flo_dydx(fname, SHAPE)
+    return codecs.image_load(fname)

@@ -1,0 +1,6 @@
+from maskflownet_tpu.models.maskflownet import (HEAD_SCOPE, MODELS,
+                                                ModelConfig, build_model,
+                                                maskflownet, maskflownet_s)
+
+__all__ = ["HEAD_SCOPE", "MODELS", "ModelConfig", "build_model",
+           "maskflownet", "maskflownet_s"]

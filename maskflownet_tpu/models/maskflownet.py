@@ -1,0 +1,251 @@
+"""MaskFlownet-S and the full MaskFlownet cascade, TPU-native (NHWC, bf16
+compute / f32 flow accumulators).
+
+Functional re-design of the reference models (``network/MaskFlownet.py:66-315``
+for MaskFlownet_S, ``:318-545`` for the cascade). Parameters are requested
+through :class:`maskflownet_tpu.nn.Ctx`; shared dual-pyramid weights fall out
+naturally from requesting the same parameter names for both images.
+
+Conventions:
+  * flow tensors inside the network are full-resolution displacement / 20
+    (``scale = 20 * flow_multiplier``, reference ``MaskFlownet.py:69,323``);
+    returned predictions are multiplied back by ``scale`` (``:302,542``).
+  * flow channel order is (dy, dx) = (row, col) displacement everywhere,
+    equal to the reference's post-``labels.flip(axis=1)`` order
+    (``pipeline.py:105``).
+  * deformable-conv offsets are the upsampled flow converted to level pixels
+    (``flow * scale / stride_level``), replicated across the 9 taps
+    (``MaskFlownet.py:230`` et al.) -- handled inside ``deform_conv``.
+  * ``strict_c2s_compat`` reproduces the reference's ``c2s`` list quirk
+    (image-1 features at indices 1, 2: ``MaskFlownet.py:306``), which the
+    published cascade weights were trained against.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from maskflownet_tpu import nn
+from maskflownet_tpu.ops import correlation, deform_conv, upsample
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    flow_multiplier: float = 1.0
+    deform_bias: bool = True
+    upfeat_ch: tuple[int, ...] = (16, 16, 16, 16)
+    strict_c2s_compat: bool = True
+    # multiscale loss weights live in the training config, not here
+
+    @property
+    def scale(self) -> float:
+        return 20.0 * self.flow_multiplier
+
+
+STRIDES = (64, 32, 16, 8, 4)  # levels 6..2
+PYRAMID_CH = (16, 32, 64, 96, 128, 196)
+DENSE_CH = (128, 128, 96, 64, 32)
+
+
+def _pyramid(ctx: nn.Ctx, x: Array, names: tuple[str, str, str] = ("a", "b", "c")) -> list[Array]:
+    """6-level feature pyramid, 3 convs per level with stride-2 first conv
+    (reference ``MaskFlownet.py:79-96``; cascade variant uses x/y/z names,
+    ``:332-349``). Returns [c1 .. c6] (1/2 .. 1/64 resolution)."""
+    feats = []
+    for i, ch in enumerate(PYRAMID_CH, start=1):
+        x = nn.conv(ctx, f"conv{i}{names[0]}", x, ch, stride=2)
+        x = nn.conv(ctx, f"conv{i}{names[1]}", x, ch)
+        x = nn.conv(ctx, f"conv{i}{names[2]}", x, ch)
+        feats.append(x)
+    return feats
+
+
+def _dense_block(ctx: nn.Ctx, lvl: int, x: Array) -> Array:
+    """Five concat convs (reference ``MaskFlownet.py:219-223`` pattern)."""
+    for j, ch in enumerate(DENSE_CH):
+        x = jnp.concatenate([nn.conv(ctx, f"conv{lvl}_{j}", x, ch), x], axis=-1)
+    return x
+
+
+def _context_net(ctx: nn.Ctx, x: Array) -> Array:
+    """Dilated context network residual (reference ``MaskFlownet.py:131-137,
+    299-300``): dc_conv1-6 with dilations 1,2,4,8,16,1 then a flow head."""
+    x = nn.conv(ctx, "dc_conv1", x, 128, dilation=1)
+    x = nn.conv(ctx, "dc_conv2", x, 128, dilation=2)
+    x = nn.conv(ctx, "dc_conv3", x, 128, dilation=4)
+    x = nn.conv(ctx, "dc_conv4", x, 96, dilation=8)
+    x = nn.conv(ctx, "dc_conv5", x, 64, dilation=16)
+    x = nn.conv(ctx, "dc_conv6", x, 32, dilation=1)
+    return nn.conv(ctx, "dc_conv7", x, 2, act=False)
+
+
+def _pred_flow(ctx: nn.Ctx, lvl, x: Array) -> Array:
+    return nn.conv(ctx, f"pred_flow{lvl}", x, 2, act=False).astype(jnp.float32)
+
+
+def _pred_mask(ctx: nn.Ctx, lvl, x: Array) -> Array:
+    return nn.conv(ctx, f"pred_mask{lvl}", x, 1, act=False).astype(jnp.float32)
+
+
+def maskflownet_s(ctx: nn.Ctx, im1: Array, im2: Array,
+                  cfg: ModelConfig = ModelConfig()):
+    """MaskFlownet-S forward (reference ``MaskFlownet.py:197-315``).
+
+    Returns ``(predictions, occlusion_masks, srcs)`` where predictions are
+    [flow6..flow2] * scale (coarse to fine, (dy,dx) full-res units),
+    occlusion_masks = [sigmoid(mask2)] and srcs carries the cascade inputs
+    ``(c1s, c2s, flows, c30, c40)``.
+    """
+    from maskflownet_tpu.ops.warp import backwarp
+
+    md = 4
+    dtype = ctx.compute_dtype
+    im1 = im1.astype(dtype)
+    im2 = im2.astype(dtype)
+
+    c1s = _pyramid(ctx, im1)
+    c2s = _pyramid(ctx, im2)
+    c11, c12, c13, c14, c15, c16 = c1s
+    c21, c22, c23, c24, c25, c26 = c2s
+
+    # ---- level 6 ----
+    corr6 = nn.leaky_relu(correlation(c16, c26, md))
+    x = _dense_block(ctx, 6, corr6)
+    flow = _pred_flow(ctx, 6, x)
+    mask = _pred_mask(ctx, 6, x)
+    flows = [flow]
+
+    # ---- levels 5..2 ----
+    level_feats = {5: (c15, c25), 4: (c14, c24), 3: (c13, c23), 2: (c12, c22)}
+    for idx, lvl in enumerate((5, 4, 3, 2)):
+        c1l, c2l = level_feats[lvl]
+        stride = STRIDES[idx + 1]
+        feat = nn.deconv(ctx, f"upfeat{lvl}", x, cfg.upfeat_ch[idx])
+        flow = upsample(flow, 2)
+        mask = upsample(mask, 2)
+        offsets = flow * (cfg.scale / stride)  # level-pixel units, f32
+        warp = deform_conv(ctx, f"deform{lvl}", c2l, offsets, c2l.shape[-1],
+                           use_bias=cfg.deform_bias)
+        gate = jax.nn.sigmoid(mask).astype(dtype)
+        warp = warp * gate + nn.conv(ctx, f"conv{lvl}f", feat, c2l.shape[-1],
+                                     act=False)
+        warp = nn.leaky_relu(warp)
+        corr = nn.leaky_relu(correlation(c1l, warp, md))
+        x = jnp.concatenate([corr, c1l, feat, flow.astype(dtype)], axis=-1)
+        x = _dense_block(ctx, lvl, x)
+        flow = flow + _pred_flow(ctx, lvl, x)
+        if lvl > 2:
+            mask = _pred_mask(ctx, lvl, x)
+        # at level 2 the gate mask stays the upsampled mask3 (no pred_mask2,
+        # reference MaskFlownet.py:281-296)
+        flows.append(flow)
+
+    # ---- context network ----
+    flow = flow + _context_net(ctx, x).astype(jnp.float32)
+    flows[-1] = flow
+
+    predictions = [f * cfg.scale for f in flows]
+    occ_mask2 = jax.nn.sigmoid(mask)
+    occlusion_masks = [occ_mask2]
+
+    # ---- cascade sources (reference MaskFlownet.py:305-315) ----
+    if cfg.strict_c2s_compat:
+        c2s_out = [c21, c12, c13, c24, c25, c26]  # quirk: :306
+    else:
+        c2s_out = [c21, c22, c23, c24, c25, c26]
+    mask0 = jax.nn.sigmoid(upsample(mask, 4)) - 0.5
+    flow0 = upsample(flow, 4) * cfg.scale
+    c30 = jnp.concatenate([im1, jnp.zeros_like(mask0, dtype)], axis=-1)
+    c40 = jnp.concatenate([backwarp(im2, flow0).astype(dtype),
+                           mask0.astype(dtype)], axis=-1)
+    srcs = (c1s, c2s_out, flows, c30, c40)
+    return predictions, occlusion_masks, srcs
+
+
+HEAD_SCOPE = "MaskFlownet_S"
+
+
+def maskflownet(ctx: nn.Ctx, im1: Array, im2: Array,
+                cfg: ModelConfig = ModelConfig()):
+    """Full MaskFlownet cascade (reference ``MaskFlownet.py:443-545``).
+
+    The MaskFlownet_S head runs under the ``MaskFlownet_S/`` parameter scope
+    (so standalone head checkpoints load directly; cf. ``load_head``
+    ``MaskFlownet.py:410-411``). Stage 2 builds a second dual pyramid over the
+    4-channel ``c30``/``c40`` inputs and refines with *dual* correlation
+    (md=2) per level; no mask heads in stage 2.
+
+    Returns ``(predictions, visuals, ())`` -- visuals[0] is flow2 channel 0,
+    standing in for the occlusion mask in ``do_batch`` (reference
+    ``MaskFlownet.py:543-545``).
+    """
+    md = 2
+    dtype = ctx.compute_dtype
+    _, _, srcs = maskflownet_s(ctx.scope(HEAD_SCOPE), im1, im2, cfg)
+    c1s, c2s, head_flows, c30, c40 = srcs
+    # stop-gradient into the frozen head's activations is NOT applied here;
+    # freezing is an optimizer-mask concern (training.freeze), matching the
+    # reference's grad_req='null' semantics (MaskFlownet.py:413-415).
+    c11, c12, c13, c14, c15, c16 = c1s
+    c21, c22, c23, c24, c25, c26 = c2s
+
+    c3s = _pyramid(ctx, c30, names=("x", "y", "z"))
+    c4s = _pyramid(ctx, c40, names=("x", "y", "z"))
+
+    # ---- level 6 ----
+    flow = head_flows[0]
+    warp6u = nn.leaky_relu(deform_conv(
+        ctx, "deform6", c26, flow * (cfg.scale / STRIDES[0]), c26.shape[-1],
+        use_bias=cfg.deform_bias))
+    corr6u = nn.leaky_relu(correlation(c16, warp6u, md))
+    corr6v = nn.leaky_relu(correlation(c3s[5], c4s[5], md))
+    x = jnp.concatenate([corr6u, corr6v, flow.astype(dtype)], axis=-1)
+    x = _dense_block(ctx, 6, x)
+    flow = flow + _pred_flow(ctx, 6, x)
+    flows = [flow]
+
+    # ---- levels 5..2 ----
+    level_feats = {5: (c15, c25), 4: (c14, c24), 3: (c13, c23), 2: (c12, c22)}
+    for idx, lvl in enumerate((5, 4, 3, 2)):
+        c1l, c2l = level_feats[lvl]
+        stride = STRIDES[idx + 1]
+        feat = nn.deconv(ctx, f"upfeat{lvl}", x, cfg.upfeat_ch[idx])
+        flow = upsample(flow, 2)
+        warpu = nn.leaky_relu(deform_conv(
+            ctx, f"deform{lvl}", c2l, flow * (cfg.scale / stride),
+            c2l.shape[-1], use_bias=cfg.deform_bias))
+        corru = nn.leaky_relu(correlation(c1l, warpu, md))
+        corrv = nn.leaky_relu(correlation(c3s[lvl - 1], c4s[lvl - 1], md))
+        x = jnp.concatenate([
+            c1l, feat, corru, corrv, flow.astype(dtype),
+            head_flows[idx + 1].astype(dtype)], axis=-1)
+        x = _dense_block(ctx, lvl, x)
+        flow = flow + _pred_flow(ctx, lvl, x)
+        flows.append(flow)
+
+    flow = flow + _context_net(ctx, x).astype(jnp.float32)
+    flows[-1] = flow
+
+    predictions = [f * cfg.scale for f in flows]
+    visuals = [flow[..., 0:1]]
+    return predictions, visuals, ()
+
+
+MODELS = {
+    "MaskFlownet_S": maskflownet_s,
+    "MaskFlownet": maskflownet,
+}
+
+
+def build_model(name: str):
+    """Model registry lookup (replaces reference ``build_network``/``eval``,
+    ``pipeline.py:9-10``)."""
+    try:
+        return MODELS[name]
+    except KeyError:
+        raise NotImplementedError(f"unknown model {name!r}") from None

@@ -1,0 +1,112 @@
+"""Bilinear backward warping (NHWC, flow in (dy, dx) row/col pixel units).
+
+Semantic contract (replicates MXNet ``F.GridGenerator(transform_type='warp')``
++ ``F.BilinearSampler``, reference ``network/layer.py:8-30``):
+
+  * ``backwarp(img, flow)[n, y, x, c]`` bilinearly samples
+    ``img[n, y + flow[n,y,x,0], x + flow[n,y,x,1], c]``.
+  * Out-of-bounds corner pixels contribute **zero** (BilinearSampler zero
+    padding). This is the plain ``Reconstruction2D`` variant.
+  * ``backwarp(img, flow, clamp=True)`` first clamps the sample coordinates to
+    the image rectangle (the reference's ``Reconstruction2DSmooth``, which
+    clips the normalized grid to [-1, 1], ``network/layer.py:29``).
+
+Flow channel convention: this framework uses (dy, dx) everywhere internally,
+equal to the reference's *post-flip* label order (``pipeline.py:105``). The
+reference's pre-GridGenerator ``flow.flip(axis=1)`` (``layer.py:17``) converts
+its (dy, dx) model flow to MXNet's (dx, dy) grid order; here no flip exists.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def _gather_nhwc(img: Array, iy: Array, ix: Array) -> Array:
+    """img: (N,H,W,C); iy/ix: (N,Ho,Wo) int32 (assumed in-bounds). -> (N,Ho,Wo,C)."""
+    n, h, w, c = img.shape
+    flat = img.reshape(n, h * w, c)
+    idx = iy * w + ix  # (N,Ho,Wo)
+    return jnp.take_along_axis(
+        flat[:, :, :], idx.reshape(n, -1, 1), axis=1
+    ).reshape(idx.shape + (c,))
+
+
+def backwarp_coords(img: Array, sy: Array, sx: Array, *, clamp: bool = False) -> Array:
+    """Bilinear sample ``img`` (N,H,W,C) at float coords (sy, sx), each (N,Ho,Wo)."""
+    n, h, w, c = img.shape
+    compute_dtype = img.dtype
+    sy = sy.astype(jnp.float32)
+    sx = sx.astype(jnp.float32)
+    if clamp:
+        sy = jnp.clip(sy, 0.0, h - 1.0)
+        sx = jnp.clip(sx, 0.0, w - 1.0)
+
+    y0 = jnp.floor(sy)
+    x0 = jnp.floor(sx)
+    wy = (sy - y0)[..., None].astype(compute_dtype)
+    wx = (sx - x0)[..., None].astype(compute_dtype)
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+
+    out = None
+    for dy in (0, 1):
+        for dx in (0, 1):
+            yy = y0i + dy
+            xx = x0i + dx
+            if clamp:
+                valid = None
+            else:
+                valid = ((yy >= 0) & (yy < h) & (xx >= 0) & (xx < w))[..., None]
+            yyc = jnp.clip(yy, 0, h - 1)
+            xxc = jnp.clip(xx, 0, w - 1)
+            v = _gather_nhwc(img, yyc, xxc)
+            if valid is not None:
+                v = jnp.where(valid, v, jnp.zeros((), compute_dtype))
+            wgt = (wy if dy else (1 - wy)) * (wx if dx else (1 - wx))
+            contrib = v * wgt
+            out = contrib if out is None else out + contrib
+    return out
+
+
+def backwarp(img: Array, flow: Array, *, clamp: bool = False) -> Array:
+    """Backward-warp ``img`` (N,H,W,C) by ``flow`` (N,H,W,2) in (dy, dx) pixels."""
+    n, h, w, _ = img.shape
+    gy = jax.lax.broadcasted_iota(jnp.float32, (1, h, w), 1)
+    gx = jax.lax.broadcasted_iota(jnp.float32, (1, h, w), 2)
+    sy = gy + flow[..., 0].astype(jnp.float32)
+    sx = gx + flow[..., 1].astype(jnp.float32)
+    return backwarp_coords(img, sy, sx, clamp=clamp)
+
+
+def affine_grid(theta: Array, height: int, width: int) -> tuple[Array, Array]:
+    """Normalized affine sampling grid (MXNet ``GridGenerator('affine')``).
+
+    ``theta``: (N, 6) rows ``[a, b, tx, c, d, ty]``. Target coords are
+    ``x_t, y_t`` in [-1, 1] inclusive (align-corners). Returns normalized
+    source coords (gx, gy), each (N, H, W):
+    ``gx = a*x_t + b*y_t + tx``, ``gy = c*x_t + d*y_t + ty``.
+    Reference use: ``augmentation.py:60,306,317,333``.
+    """
+    ys = jnp.linspace(-1.0, 1.0, height, dtype=jnp.float32)
+    xs = jnp.linspace(-1.0, 1.0, width, dtype=jnp.float32)
+    y_t, x_t = jnp.meshgrid(ys, xs, indexing="ij")  # (H, W)
+    t = theta.astype(jnp.float32)
+    gx = t[:, 0, None, None] * x_t + t[:, 1, None, None] * y_t + t[:, 2, None, None]
+    gy = t[:, 3, None, None] * x_t + t[:, 4, None, None] * y_t + t[:, 5, None, None]
+    return gx, gy
+
+
+def grid_sample_normalized(img: Array, gx: Array, gy: Array,
+                           *, clamp: bool = False) -> Array:
+    """Bilinear sample with normalized [-1,1] coords (MXNet BilinearSampler).
+
+    ``sx = (gx + 1) * (W - 1) / 2``; zero padding outside unless ``clamp``.
+    """
+    n, h, w, c = img.shape
+    sx = (gx + 1.0) * ((w - 1) / 2.0)
+    sy = (gy + 1.0) * ((h - 1) / 2.0)
+    return backwarp_coords(img, sy, sx, clamp=clamp)

@@ -1,0 +1,312 @@
+"""The training/eval engine: one pjit-compiled train step and shape-bucketed
+inference, replacing the reference ``PipelineFlownet`` (``network/pipeline.py``).
+
+Key architectural difference from the reference (by design, SURVEY.md §7):
+normalization, geometric + chromatic augmentation, forward, multiscale loss,
+gradient, and the Adam update all live inside ONE compiled XLA program per
+step (the reference runs augmentation and loss eagerly per device,
+``pipeline.py:97-113``). The batch is sharded over a 1-D ``('data',)`` mesh;
+XLA inserts the gradient all-reduce (ICI/DCN). Buffers are donated, so
+parameters/optimizer state update in place.
+
+Frozen-head cascade training (``fix_head``, reference ``MaskFlownet.py:
+413-415``) is an optimizer concern: gradients for ``MaskFlownet_S/*`` are
+zeroed before Adam, so their first/second moments stay zero and the update is
+exactly zero, while everything still runs as a single program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from maskflownet_tpu import nn
+from maskflownet_tpu.augment import (ColorAugConfig, GeometryAugConfig,
+                                     color_augmentation,
+                                     geometry_augmentation)
+from maskflownet_tpu.losses import (epe_loss_with_mask, kitti_outlier_rate,
+                                    multiscale_epe)
+from maskflownet_tpu.models import HEAD_SCOPE, ModelConfig, build_model
+from maskflownet_tpu.ops import backwarp, resize_bilinear, upsample
+from maskflownet_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                           replicated_sharding, shard_batch)
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainSettings:
+    model: str = "MaskFlownet_S"
+    model_cfg: ModelConfig = ModelConfig()
+    q: float | None = None                   # robust-loss exponent (optimizer.q)
+    loss_weights: tuple = (0.005, 0.01, 0.02, 0.08, 0.32)
+    loss_match: str = "upsampling"
+    fix_head: bool = False                   # freeze MaskFlownet_S submodule
+    compute_dtype: str = "bfloat16"          # forward compute precision
+    target_shape: tuple[int, int] = (320, 448)
+    orig_shape: tuple[int, int] = (384, 512)
+    geo: GeometryAugConfig | None = None
+    color: ColorAugConfig | None = None
+    adam_eps: float = 1e-8
+
+    def dtype(self):
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
+
+
+def centralize(img1: Array, img2: Array):
+    """Subtract the per-sample mean RGB of the image pair (reference
+    ``pipeline.py:85-87``)."""
+    both = jnp.concatenate([img1, img2], axis=1)
+    mean = jnp.mean(both, axis=(1, 2), keepdims=True)
+    return img1 - mean, img2 - mean, mean
+
+
+class Trainer:
+    """Owns params, Adam state, the compiled step, and eval entry points."""
+
+    def __init__(self, settings: TrainSettings, mesh=None, seed: int = 0,
+                 init_shape: tuple[int, int] | None = None):
+        self.settings = settings
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.model_fn = build_model(settings.model)
+        self.steps = 0
+
+        h, w = init_shape or settings.target_shape
+        dummy = jnp.zeros((1, h, w, 3), jnp.float32)
+        self.params = nn.init(self.model_fn, jax.random.PRNGKey(seed), dummy,
+                              dummy, settings.model_cfg)
+        self._opt = optax.scale_by_adam(b1=0.9, b2=0.999, eps=settings.adam_eps)
+        self.opt_state = self._opt.init(self.params)
+        self._seed = seed
+        self._train_step = self._build_train_step()
+        self._infer_cache: dict = {}
+
+    # ------------------------------------------------------------------
+    # training
+    # ------------------------------------------------------------------
+
+    def _build_train_step(self):
+        s = self.settings
+        model_cfg = s.model_cfg
+        dtype = s.dtype()
+        model_fn = self.model_fn
+        opt = self._opt
+        fix_head = s.fix_head
+        geo, color = s.geo, s.color
+        q = s.q
+
+        def step(params, opt_state, img1, img2, flow, mask, key, lr):
+            img1 = img1.astype(jnp.float32) / 255.0
+            img2 = img2.astype(jnp.float32) / 255.0
+            flow = flow.astype(jnp.float32)
+            mask = mask.astype(jnp.float32) / 255.0
+            kg, kc = jax.random.split(key)
+            if geo is not None:
+                img1, img2, flow, mask = geometry_augmentation(
+                    kg, img1, img2, flow, mask, geo)
+            if color is not None:
+                img1, img2 = color_augmentation(kc, img1, img2, color)
+            img1, img2, _ = centralize(img1, img2)
+
+            def loss_fn(p):
+                ctx = nn.apply_ctx(p, compute_dtype=dtype)
+                preds, occ_masks, _ = model_fn(ctx, img1, img2, model_cfg)
+                loss = multiscale_epe(flow, mask, preds,
+                                      weights=s.loss_weights,
+                                      match=s.loss_match, q=q)
+                epe = epe_loss_with_mask(upsample(preds[-1], 4), flow, mask)
+                return jnp.mean(loss), jnp.mean(epe)
+
+            (loss, epe), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            if fix_head:
+                grads = {k: (jnp.zeros_like(v)
+                             if k.startswith(HEAD_SCOPE + "/") else v)
+                         for k, v in grads.items()}
+            updates, opt_state = opt.update(grads, opt_state, params)
+            updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, {"loss": loss, "epe": epe}
+
+        repl = replicated_sharding(self.mesh)
+        data = batch_sharding(self.mesh)
+        return jax.jit(
+            step,
+            in_shardings=(repl, repl, data, data, data, data, repl, repl),
+            out_shardings=(repl, repl, repl),
+            donate_argnums=(0, 1),
+        )
+
+    def train_batch(self, img1, img2, flow, mask=None, lr: float = 1e-4):
+        """One optimization step on a host batch (NHWC numpy). Returns
+        {'loss', 'epe'} floats. Cf. reference ``train_batch``
+        (``pipeline.py:89-115``)."""
+        b = img1.shape[0]
+        if mask is None:
+            mask = np.full((b,) + tuple(img1.shape[1:3]) + (1,), 255, np.uint8)
+        if mask.ndim == 3:
+            mask = mask[..., None]
+        batch = shard_batch(self.mesh, (np.asarray(img1), np.asarray(img2),
+                                        np.asarray(flow), np.asarray(mask)))
+        key = jax.random.fold_in(jax.random.PRNGKey(self._seed), self.steps)
+        self.params, self.opt_state, metrics = self._train_step(
+            self.params, self.opt_state, *batch, key,
+            jnp.asarray(lr, jnp.float32))
+        self.steps += 1
+        return {k: float(v) for k, v in metrics.items()}
+
+    # ------------------------------------------------------------------
+    # inference
+    # ------------------------------------------------------------------
+
+    def _infer_fn(self, in_hw: tuple[int, int], resize: tuple[int, int] | None):
+        """Compiled inference for one input shape bucket (reference
+        ``do_batch``/``do_batch_mx``, ``pipeline.py:117-147``): centralize,
+        bilinear-resize to a x64 working resolution, forward, upsample(4),
+        resize back with flow-value rescale, warp img2."""
+        key = (in_hw, resize)
+        if key in self._infer_cache:
+            return self._infer_cache[key]
+        s = self.settings
+        h, w = in_hw
+        if resize is None:
+            wh = h + (64 - h % 64) % 64
+            ww = w + (64 - w % 64) % 64
+        else:
+            wh, ww = resize
+        model_fn, model_cfg, dtype = self.model_fn, s.model_cfg, s.dtype()
+
+        def run(params, img1, img2):
+            img1 = img1.astype(jnp.float32)
+            img2 = img2.astype(jnp.float32)
+            i1, i2, _ = centralize(img1, img2)
+            i1 = resize_bilinear(i1, wh, ww)
+            i2 = resize_bilinear(i2, wh, ww)
+            ctx = nn.apply_ctx(params, compute_dtype=dtype)
+            preds, occs, _ = model_fn(ctx, i1, i2, model_cfg)
+            flow = upsample(preds[-1], 4)
+            occ = upsample(occs[0].astype(jnp.float32), 4)
+            if (wh, ww) != (h, w):
+                # value rescale shape[d]/flow.shape[d] (pipeline.py:140-141)
+                scale = jnp.asarray([h / wh, w / ww], jnp.float32)
+                flow = resize_bilinear(flow, h, w) * scale
+                occ = resize_bilinear(occ, h, w)
+            warped = backwarp(img2, flow, clamp=True)
+            return flow, occ, warped
+
+        fn = jax.jit(run)
+        self._infer_cache[key] = fn
+        return fn
+
+    def do_batch(self, img1, img2, resize=None):
+        """img1/img2: (B,H,W,3) float in [0,1]. Returns (flow, occ, warped)
+        numpy arrays at input resolution; flow is (dy, dx) pixels."""
+        img1 = np.asarray(img1, np.float32)
+        fn = self._infer_fn(tuple(img1.shape[1:3]), resize)
+        flow, occ, warped = fn(self.params, jnp.asarray(img1),
+                               jnp.asarray(np.asarray(img2, np.float32)))
+        return np.asarray(flow), np.asarray(occ), np.asarray(warped)
+
+    def validate(self, img1s, img2s, flows, masks=None, batch_size: int = 4,
+                 resize=None, return_type: str = "epe") -> float:
+        """Dataset-level mean EPE or KITTI Fl-all (reference
+        ``pipeline.py:149-187``). Lists of HWC numpy arrays."""
+        n = len(img1s)
+        if masks is None:
+            masks = [np.full(img1s[i].shape[:2] + (1,), 255, np.uint8)
+                     for i in range(n)]
+        per_sample = []
+        for j in range(0, n, batch_size):
+            i1 = np.stack(img1s[j:j + batch_size]).astype(np.float32) / 255.0
+            i2 = np.stack(img2s[j:j + batch_size]).astype(np.float32) / 255.0
+            fl = np.stack(flows[j:j + batch_size]).astype(np.float32)
+            mk = np.stack(masks[j:j + batch_size]).astype(np.float32) / 255.0
+            if mk.ndim == 3:
+                mk = mk[..., None]
+            pad = batch_size - i1.shape[0]
+            if pad:
+                i1, i2, fl, mk = [np.concatenate(
+                    [x, np.repeat(x[-1:], pad, 0)]) for x in (i1, i2, fl, mk)]
+            flow, _, _ = self.do_batch(i1, i2, resize=resize)
+            flow_j, fl_j, mk_j = map(jnp.asarray, (flow, fl, mk))
+            if return_type == "epe":
+                e = epe_loss_with_mask(flow_j, fl_j, mk_j)
+            else:
+                e = kitti_outlier_rate(flow_j, fl_j, mk_j)
+            e = np.asarray(e)
+            per_sample.extend(e[: batch_size - pad] if pad else e)
+        return float(np.mean(per_sample))
+
+    def predict(self, img1s, img2s, batch_size: int = 4, resize=None):
+        """Generator over (flow (H,W,2) (dy,dx), occ, warped) per frame
+        (reference ``pipeline.py:189-223``; the (u,v) flip for export lives
+        in the submission writers)."""
+        n = len(img1s)
+        for j in range(0, n, batch_size):
+            i1 = np.stack(img1s[j:j + batch_size]).astype(np.float32) / 255.0
+            i2 = np.stack(img2s[j:j + batch_size]).astype(np.float32) / 255.0
+            k = i1.shape[0]
+            pad = batch_size - k
+            if pad:
+                i1, i2 = [np.concatenate([x, np.repeat(x[-1:], pad, 0)])
+                          for x in (i1, i2)]
+            flow, occ, warped = self.do_batch(i1, i2, resize=resize)
+            for t in range(k):
+                yield flow[t], occ[t], warped[t]
+
+    # ------------------------------------------------------------------
+    # checkpointing (reference pipeline.py:52-63 + main.py:546-556)
+    # ------------------------------------------------------------------
+
+    def state_dict(self) -> dict[str, np.ndarray]:
+        mu, nu, count = self._opt_flat()
+        out = {"step": np.asarray(self.steps)}
+        for k, v in self.params.items():
+            out["p:" + k] = np.asarray(v)
+        for k, v in mu.items():
+            out["mu:" + k] = np.asarray(v)
+        for k, v in nu.items():
+            out["nu:" + k] = np.asarray(v)
+        out["count"] = np.asarray(count)
+        return out
+
+    def _opt_flat(self):
+        adam = self.opt_state[0] if isinstance(
+            self.opt_state, tuple) else self.opt_state
+        return adam.mu, adam.nu, adam.count
+
+    def save(self, prefix: str) -> None:
+        np.savez(prefix + ".npz", **self.state_dict())
+
+    def load(self, path: str, load_states: bool = True) -> None:
+        z = np.load(path)
+        params = {k[2:]: jnp.asarray(v) for k, v in z.items()
+                  if k.startswith("p:")}
+        missing = set(self.params) - set(params)
+        if missing:
+            raise ValueError(f"checkpoint missing params: {sorted(missing)[:5]}")
+        self.params = params
+        if load_states and any(k.startswith("mu:") for k in z):
+            mu = {k[3:]: jnp.asarray(v) for k, v in z.items()
+                  if k.startswith("mu:")}
+            nu = {k[3:]: jnp.asarray(v) for k, v in z.items()
+                  if k.startswith("nu:")}
+            count = jnp.asarray(z["count"])
+            adam = optax.ScaleByAdamState(count=count, mu=mu, nu=nu)
+            self.opt_state = adam
+            self.steps = int(z["step"])
+
+    def load_head(self, path: str) -> None:
+        """Load a standalone MaskFlownet_S checkpoint into the cascade's
+        head scope (reference ``load_head``, ``MaskFlownet.py:410-411``)."""
+        z = np.load(path)
+        head = {HEAD_SCOPE + "/" + k[2:]: jnp.asarray(v)
+                for k, v in z.items() if k.startswith("p:")}
+        unknown = set(head) - set(self.params)
+        if unknown:
+            raise ValueError(f"head params not in model: {sorted(unknown)[:5]}")
+        self.params = {**self.params, **head}

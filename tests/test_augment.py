@@ -1,0 +1,138 @@
+"""Augmentation tests: the geometric flow transform is verified by the
+defining property of flow augmentation rather than against a transliterated
+oracle -- warping the augmented img2 by the augmented flow must reproduce the
+augmented img1 wherever the flow is valid (SURVEY.md §7 'hard parts')."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from maskflownet_tpu.augment import (ColorAugConfig, GeometryAugConfig,
+                                     color_augmentation,
+                                     geometry_augmentation)
+from maskflownet_tpu.ops import backwarp
+
+
+def _make_affine_pair(rng, oh, ow, max_disp=6.0):
+    """Synthesize a consistent (img1, img2, flow) pair: img2 is img1 shifted
+    by a constant flow, so ground truth is exact."""
+    # smooth low-frequency image so bilinear interpolation error is tiny
+    yy_, xx_ = np.mgrid[0:oh + 40, 0:ow + 40].astype(np.float32)
+    base = np.zeros((oh + 40, ow + 40, 3), np.float32)
+    for c in range(3):
+        for _ in range(6):
+            ky, kx = rng.uniform(-1 / 24, 1 / 24, 2)
+            ph = rng.uniform(0, 2 * np.pi)
+            base[..., c] += rng.uniform(0.05, 0.15) * np.sin(
+                2 * np.pi * (ky * yy_ + kx * xx_) + ph)
+    base = (base - base.min()) / (base.max() - base.min())
+    dy, dx = rng.uniform(-max_disp, max_disp, 2)
+    img1 = base[20:20 + oh, 20:20 + ow]
+    # img1(p) corresponds to img2(p + f): img2(q) = img1(q - f) = base(q - f + 20)
+    yy = np.arange(oh) + 20 - dy
+    xx = np.arange(ow) + 20 - dx
+    y0 = np.floor(yy).astype(int)
+    x0 = np.floor(xx).astype(int)
+    ay = (yy - y0)[:, None, None]
+    ax = (xx - x0)[None, :, None]
+    img2 = ((1 - ay) * (1 - ax) * base[y0][:, x0]
+            + (1 - ay) * ax * base[y0][:, x0 + 1]
+            + ay * (1 - ax) * base[y0 + 1][:, x0]
+            + ay * ax * base[y0 + 1][:, x0 + 1])
+    flow = np.zeros((oh, ow, 2), np.float32)
+    flow[..., 0] = dy
+    flow[..., 1] = dx
+    return img1, img2.astype(np.float32), flow
+
+
+def test_geometry_consistency_property():
+    """warp(img2_aug, flow_aug) ~= img1_aug on valid, in-bounds pixels."""
+    rng = np.random.RandomState(42)
+    oh, ow = 96, 128
+    th, tw = 64, 96
+    imgs1, imgs2, flows = zip(*[_make_affine_pair(rng, oh, ow) for _ in range(4)])
+    img1 = jnp.asarray(np.stack(imgs1))
+    img2 = jnp.asarray(np.stack(imgs2))
+    flow = jnp.asarray(np.stack(flows))
+    mask = jnp.ones((4, oh, ow, 1), jnp.float32)
+
+    cfg = GeometryAugConfig(target_shape=(th, tw), orig_shape=(oh, ow))
+    i1a, i2a, fa, ma = geometry_augmentation(
+        jax.random.PRNGKey(3), img1, img2, flow, mask, cfg)
+    i1a, i2a, fa, ma = map(np.asarray, (i1a, i2a, fa, ma))
+    assert i1a.shape == (4, th, tw, 3) and fa.shape == (4, th, tw, 2)
+
+    rewarped = np.asarray(backwarp(jnp.asarray(i2a), jnp.asarray(fa)))
+    # validity: mask ~ 1 and the warp target inside img2_aug bounds
+    py, px = np.mgrid[0:th, 0:tw]
+    ty = py[None] + fa[..., 0]
+    tx = px[None] + fa[..., 1]
+    inb = (ty >= 1) & (ty <= th - 2) & (tx >= 1) & (tx <= tw - 2)
+    valid = (ma[..., 0] > 0.999) & inb
+    # ignore a 2px frame where grid clipping makes img1_aug repeat edge pixels
+    valid[:, :2] = valid[:, -2:] = valid[:, :, :2] = valid[:, :, -2:] = False
+    assert valid.mean() > 0.4  # enough coverage to be meaningful
+    err = np.abs(rewarped - i1a)[valid]
+    assert err.mean() < 0.02, err.mean()
+    assert np.quantile(err, 0.95) < 0.06
+
+
+def test_geometry_shapes_and_determinism():
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.rand(2, 48, 64, 3).astype(np.float32))
+    flow = jnp.asarray(rng.randn(2, 48, 64, 2).astype(np.float32))
+    mask = jnp.ones((2, 48, 64, 1))
+    cfg = GeometryAugConfig(target_shape=(32, 48), orig_shape=(48, 64))
+    f = jax.jit(lambda k: geometry_augmentation(k, img, img, flow, mask, cfg))
+    a = f(jax.random.PRNGKey(1))
+    b = f(jax.random.PRNGKey(1))
+    c = f(jax.random.PRNGKey(2))
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    assert not np.allclose(np.asarray(a[0]), np.asarray(c[0]))
+
+
+def test_geometry_identityish_no_rotation():
+    """With angle=0, zoom=1, no translation and target==orig, the transform
+    is the identity: outputs equal inputs, flow preserved."""
+    rng = np.random.RandomState(1)
+    img1 = jnp.asarray(rng.rand(1, 32, 40, 3).astype(np.float32))
+    img2 = jnp.asarray(rng.rand(1, 32, 40, 3).astype(np.float32))
+    flow = jnp.asarray(rng.randn(1, 32, 40, 2).astype(np.float32) * 2)
+    mask = jnp.ones((1, 32, 40, 1))
+    cfg = GeometryAugConfig(
+        angle_range=(0.0, 0.0), zoom_range=(1.0, 1.0), aspect_range=None,
+        translation_range=0.0, target_shape=(32, 40), orig_shape=(32, 40),
+        relative_angle=None, relative_translation=None)
+    i1a, i2a, fa, ma = geometry_augmentation(
+        jax.random.PRNGKey(0), img1, img2, flow, mask, cfg)
+    np.testing.assert_allclose(np.asarray(i1a), np.asarray(img1), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(i2a), np.asarray(img2), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(fa), np.asarray(flow), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(ma), 1.0, atol=1e-5)
+
+
+def test_color_augmentation_basic():
+    rng = np.random.RandomState(2)
+    img1 = jnp.asarray(rng.rand(3, 24, 32, 3).astype(np.float32))
+    img2 = jnp.asarray(rng.rand(3, 24, 32, 3).astype(np.float32))
+    cfg = ColorAugConfig()
+    a1, a2 = color_augmentation(jax.random.PRNGKey(0), img1, img2, cfg)
+    a1, a2 = np.asarray(a1), np.asarray(a2)
+    assert a1.shape == img1.shape
+    assert (a1 >= 0).all() and (a1 <= 1).all()
+    assert not np.allclose(a1, np.asarray(img1))
+    # deterministic in key
+    b1, _ = color_augmentation(jax.random.PRNGKey(0), img1, img2, cfg)
+    np.testing.assert_array_equal(a1, np.asarray(b1))
+
+
+def test_color_augmentation_gamma_and_eigen():
+    rng = np.random.RandomState(3)
+    img = jnp.asarray(rng.rand(2, 16, 16, 3).astype(np.float32))
+    cfg = ColorAugConfig(gamma_range=(-0.5, 0.5), eigen_aug=True,
+                         noise_range=(0.0, 0.02))
+    a1, a2 = color_augmentation(jax.random.PRNGKey(5), img, img, cfg)
+    assert np.isfinite(np.asarray(a1)).all()
+    assert (np.asarray(a1) >= 0).all()

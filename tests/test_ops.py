@@ -1,0 +1,247 @@
+"""Unit tests for the op layer against naive numpy oracles.
+
+These encode the semantic contract copied from the reference's MXNet native
+ops (SURVEY.md §2.3): correlation, bilinear warp (zero-pad and clamped),
+flow-guided deformable conv, triangle up/downsampling, bilinear resize.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from maskflownet_tpu.ops import (backwarp, correlation_xla, downsample,
+                                 flow_guided_deform_conv3x3,
+                                 grid_sample_normalized, affine_grid,
+                                 resize_bilinear, upsample)
+
+rng = np.random.RandomState(0)
+
+
+# ---------------------------------------------------------------------------
+# numpy oracles
+# ---------------------------------------------------------------------------
+
+def np_bilinear_sample(img, sy, sx, clamp=False):
+    """img (H,W,C); sy/sx scalar float. Zero padding unless clamp."""
+    h, w, _ = img.shape
+    if clamp:
+        sy = min(max(sy, 0.0), h - 1.0)
+        sx = min(max(sx, 0.0), w - 1.0)
+    y0, x0 = int(np.floor(sy)), int(np.floor(sx))
+    ay, ax = sy - y0, sx - x0
+    out = np.zeros(img.shape[-1], img.dtype)
+    for dy, wy in ((0, 1 - ay), (1, ay)):
+        for dx, wx in ((0, 1 - ax), (1, ax)):
+            yy, xx = y0 + dy, x0 + dx
+            if 0 <= yy < h and 0 <= xx < w:
+                out = out + wy * wx * img[yy, xx]
+    return out
+
+
+def np_backwarp(img, flow, clamp=False):
+    n, h, w, c = img.shape
+    out = np.zeros_like(img)
+    for b in range(n):
+        for y in range(h):
+            for x in range(w):
+                out[b, y, x] = np_bilinear_sample(
+                    img[b], y + flow[b, y, x, 0], x + flow[b, y, x, 1], clamp)
+    return out
+
+
+def np_correlation(f1, f2, md):
+    n, h, w, c = f1.shape
+    d = 2 * md + 1
+    out = np.zeros((n, h, w, d * d), f1.dtype)
+    f2p = np.pad(f2, ((0, 0), (md, md), (md, md), (0, 0)))
+    for dy in range(d):
+        for dx in range(d):
+            out[..., dy * d + dx] = (
+                f1 * f2p[:, dy:dy + h, dx:dx + w]).mean(axis=-1)
+    return out
+
+
+def np_deform(x, flow, weight, bias):
+    n, h, w, cin = x.shape
+    cout = weight.shape[-1]
+    out = np.zeros((n, h, w, cout), x.dtype)
+    for b in range(n):
+        for y in range(h):
+            for xx in range(w):
+                acc = np.zeros(cout)
+                for ky in range(3):
+                    for kx in range(3):
+                        v = np_bilinear_sample(
+                            x[b], y + flow[b, y, xx, 0] + ky - 1,
+                            xx + flow[b, y, xx, 1] + kx - 1)
+                        acc += v @ weight[ky, kx]
+                out[b, y, xx] = acc + bias
+    return out
+
+
+# ---------------------------------------------------------------------------
+# tests
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("clamp", [False, True])
+def test_backwarp_matches_oracle(clamp):
+    img = rng.randn(2, 7, 9, 3).astype(np.float32)
+    flow = (rng.randn(2, 7, 9, 2) * 3).astype(np.float32)
+    got = np.asarray(backwarp(jnp.asarray(img), jnp.asarray(flow), clamp=clamp))
+    want = np_backwarp(img, flow, clamp=clamp)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_backwarp_identity():
+    img = rng.randn(1, 5, 6, 2).astype(np.float32)
+    flow = np.zeros((1, 5, 6, 2), np.float32)
+    got = np.asarray(backwarp(jnp.asarray(img), jnp.asarray(flow)))
+    np.testing.assert_allclose(got, img, rtol=1e-6)
+
+
+def test_backwarp_integer_shift():
+    """flow (dy,dx)=(0,1) samples img[x+1]: output col j = input col j+1."""
+    img = rng.randn(1, 4, 5, 1).astype(np.float32)
+    flow = np.zeros((1, 4, 5, 2), np.float32)
+    flow[..., 1] = 1.0
+    got = np.asarray(backwarp(jnp.asarray(img), jnp.asarray(flow)))
+    np.testing.assert_allclose(got[:, :, :-1], img[:, :, 1:], rtol=1e-6)
+    np.testing.assert_allclose(got[:, :, -1], 0.0, atol=1e-6)
+
+
+@pytest.mark.parametrize("md", [1, 2, 4])
+def test_correlation_matches_oracle(md):
+    f1 = rng.randn(2, 6, 8, 5).astype(np.float32)
+    f2 = rng.randn(2, 6, 8, 5).astype(np.float32)
+    got = np.asarray(correlation_xla(jnp.asarray(f1), jnp.asarray(f2), md))
+    want = np_correlation(f1, f2, md)
+    assert got.shape == (2, 6, 8, (2 * md + 1) ** 2)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_correlation_zero_displacement_channel():
+    """Center channel equals the plain channel-mean dot product."""
+    f1 = rng.randn(1, 4, 4, 8).astype(np.float32)
+    f2 = rng.randn(1, 4, 4, 8).astype(np.float32)
+    md = 2
+    got = np.asarray(correlation_xla(jnp.asarray(f1), jnp.asarray(f2), md))
+    center = (2 * md + 1) * md + md
+    np.testing.assert_allclose(
+        got[..., center], (f1 * f2).mean(-1), rtol=1e-5, atol=1e-6)
+
+
+def test_deform_conv_matches_oracle():
+    x = rng.randn(1, 5, 6, 4).astype(np.float32)
+    flow = (rng.randn(1, 5, 6, 2) * 2).astype(np.float32)
+    wgt = rng.randn(3, 3, 4, 5).astype(np.float32) * 0.2
+    b = rng.randn(5).astype(np.float32)
+    got = np.asarray(flow_guided_deform_conv3x3(
+        jnp.asarray(x), jnp.asarray(flow), jnp.asarray(wgt), jnp.asarray(b)))
+    want = np_deform(x, flow, wgt, b)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_deform_conv_zero_flow_is_conv3x3():
+    """With zero flow, deform conv == standard 3x3 conv (zero padded)."""
+    x = rng.randn(1, 6, 6, 3).astype(np.float32)
+    wgt = rng.randn(3, 3, 3, 4).astype(np.float32)
+    got = np.asarray(flow_guided_deform_conv3x3(
+        jnp.asarray(x), jnp.zeros((1, 6, 6, 2)), jnp.asarray(wgt), None))
+    want = jax.lax.conv_general_dilated(
+        jnp.asarray(x), jnp.asarray(wgt), (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    np.testing.assert_allclose(got, np.asarray(want), rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("f", [2, 4])
+def test_upsample_semantics(f):
+    """out[f*i] == x[i]; interior points linearly interpolated; edge clamped."""
+    x = rng.randn(2, 3, 4, 2).astype(np.float32)
+    y = np.asarray(upsample(jnp.asarray(x), f))
+    assert y.shape == (2, 3 * f, 4 * f, 2)
+    np.testing.assert_allclose(y[:, ::f, ::f], x, rtol=1e-6)
+    # midpoint along W between cols 0 and 1 (at f*0 + f/2):
+    np.testing.assert_allclose(
+        y[:, 0, f // 2], (x[:, 0, 0] + x[:, 0, 1]) / 2, rtol=1e-5)
+    # last rows edge-clamped
+    np.testing.assert_allclose(y[:, -1, ::f], x[:, -1, :], rtol=1e-6)
+
+
+def test_upsample_matches_reference_deconv_form():
+    """Cross-check the lerp form against an explicit triangle-kernel
+    transposed convolution (the literal reference formulation,
+    MaskFlownet.py:35-62)."""
+    f = 4
+    x = rng.randn(1, 5, 6, 1).astype(np.float32)
+    got = np.asarray(upsample(jnp.asarray(x), f))
+    # explicit: edge-pad bottom/right, dilated conv with triangle kernel
+    k1 = 1 - np.abs((f * 2 - 1) // 2 - np.arange(f * 2 - 1)) / f
+    k2 = (k1[:, None] * k1[None, :]).astype(np.float32)[:, :, None, None]
+    xp = np.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)), mode="edge")
+    y = jax.lax.conv_general_dilated(
+        jnp.asarray(xp), jnp.asarray(k2), (1, 1),
+        [(f - 1, f - 1), (f - 1, f - 1)], lhs_dilation=(f, f),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y = np.asarray(y)[:, :-1, :-1]
+    np.testing.assert_allclose(got, y, rtol=1e-5, atol=1e-5)
+
+
+def test_downsample_constant_preserved():
+    x = np.full((1, 8, 8, 3), 2.5, np.float32)
+    y = np.asarray(downsample(jnp.asarray(x), 2))
+    assert y.shape == (1, 4, 4, 3)
+    np.testing.assert_allclose(y, 2.5, rtol=1e-5)
+
+
+def test_downsample_matches_reference_conv_form():
+    f = 2
+    x = rng.randn(1, 8, 10, 2).astype(np.float32)
+    got = np.asarray(downsample(jnp.asarray(x), f))
+    w = f // 2
+    k1 = ((w + 1) - np.abs(w - np.arange(2 * w + 1))) / (2 * w + 1)
+    k2 = (k1[:, None] * k1[None, :]).astype(np.float32)[:, :, None, None]
+    args = dict(window_strides=(f, f), padding=[(w, w), (w, w)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    want_num = jax.lax.conv_general_dilated(
+        jnp.asarray(x.transpose(0, 3, 1, 2).reshape(2, 8, 10, 1)),
+        jnp.asarray(k2), **args)
+    want_den = jax.lax.conv_general_dilated(
+        jnp.ones((2, 8, 10, 1)), jnp.asarray(k2), **args)
+    want = np.asarray(want_num / want_den).reshape(1, 2, 4, 5).transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_resize_bilinear_align_corners():
+    x = np.arange(4, dtype=np.float32).reshape(1, 1, 4, 1)
+    y = np.asarray(resize_bilinear(jnp.asarray(x), 1, 7))
+    np.testing.assert_allclose(y[0, 0, :, 0], np.linspace(0, 3, 7), rtol=1e-5)
+    # corners exactly preserved
+    x2 = rng.randn(1, 5, 6, 2).astype(np.float32)
+    y2 = np.asarray(resize_bilinear(jnp.asarray(x2), 11, 9))
+    np.testing.assert_allclose(y2[0, 0, 0], x2[0, 0, 0], rtol=1e-5)
+    np.testing.assert_allclose(y2[0, -1, -1], x2[0, -1, -1], rtol=1e-5)
+
+
+def test_affine_grid_identity():
+    """theta=[1,0,0,0,1,0] is the identity map; sampling reproduces img."""
+    img = rng.randn(1, 5, 7, 2).astype(np.float32)
+    theta = jnp.asarray([[1.0, 0, 0, 0, 1.0, 0]])
+    gx, gy = affine_grid(theta, 5, 7)
+    out = np.asarray(grid_sample_normalized(jnp.asarray(img), gx, gy))
+    np.testing.assert_allclose(out, img, rtol=1e-5, atol=1e-5)
+
+
+def test_backwarp_grad_flows():
+    """Gradients flow through both image and flow arguments."""
+    img = jnp.asarray(rng.randn(1, 5, 5, 2).astype(np.float32))
+    flow = jnp.asarray((rng.randn(1, 5, 5, 2) * 0.5).astype(np.float32))
+
+    def loss(im, fl):
+        return jnp.sum(backwarp(im, fl) ** 2)
+
+    gi, gf = jax.grad(loss, argnums=(0, 1))(img, flow)
+    assert np.isfinite(np.asarray(gi)).all()
+    assert np.isfinite(np.asarray(gf)).all()
+    assert np.abs(np.asarray(gf)).sum() > 0

@@ -1,0 +1,205 @@
+"""Training-engine tests: LR schedule semantics, loss decrease on the
+8-device CPU mesh, checkpoint save/load/resume, frozen-head cascade,
+validate/predict paths, losses."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from maskflownet_tpu.augment import ColorAugConfig, GeometryAugConfig
+from maskflownet_tpu.losses import (epe_loss, epe_loss_with_mask,
+                                    kitti_outlier_rate, multiscale_epe)
+from maskflownet_tpu.models import HEAD_SCOPE, ModelConfig
+from maskflownet_tpu.parallel import make_mesh
+from maskflownet_tpu.training import Trainer, TrainSettings, lr_at_step
+
+TH, TW = 64, 128
+OH, OW = 96, 160
+
+
+def _settings(**kw):
+    base = dict(
+        model="MaskFlownet_S",
+        model_cfg=ModelConfig(),
+        compute_dtype="float32",
+        target_shape=(TH, TW),
+        orig_shape=(OH, OW),
+        geo=GeometryAugConfig(target_shape=(TH, TW), orig_shape=(OH, OW)),
+        color=ColorAugConfig(noise_range=(0, 0.02)),
+    )
+    base.update(kw)
+    return TrainSettings(**base)
+
+
+def _batch(b=8, seed=0):
+    rng = np.random.RandomState(seed)
+    img1 = rng.randint(0, 255, (b, OH, OW, 3)).astype(np.uint8)
+    img2 = rng.randint(0, 255, (b, OH, OW, 3)).astype(np.uint8)
+    flow = (rng.randn(b, OH, OW, 2) * 2).astype(np.float32)
+    return img1, img2, flow
+
+
+# ---------------------------------------------------------------------------
+# schedule
+# ---------------------------------------------------------------------------
+
+def test_lr_schedule_reference_semantics():
+    sched = [[400000, 1e-4], [600000, 5e-5], [800000, 2.5e-5]]
+    assert lr_at_step(sched, 1) == 1e-4
+    assert lr_at_step(sched, 400000) == 1e-4  # boundary inclusive
+    assert lr_at_step(sched, 400001) == 5e-5
+    assert lr_at_step(sched, 800000) == 2.5e-5
+    assert lr_at_step(sched, 800001) is None  # schedule exhausted -> stop
+
+
+# ---------------------------------------------------------------------------
+# losses
+# ---------------------------------------------------------------------------
+
+def test_epe_losses():
+    rng = np.random.RandomState(0)
+    pred = jnp.asarray(rng.randn(2, 8, 8, 2).astype(np.float32))
+    label = jnp.asarray(rng.randn(2, 8, 8, 2).astype(np.float32))
+    mask = jnp.ones((2, 8, 8, 1))
+    e = np.asarray(epe_loss(pred, label))
+    want = np.linalg.norm(np.asarray(pred - label), axis=-1).mean((1, 2))
+    np.testing.assert_allclose(e, want, rtol=1e-5)
+    # masked == unmasked with all-ones mask (up to eps)
+    em = np.asarray(epe_loss_with_mask(pred, label, mask))
+    np.testing.assert_allclose(em, want, rtol=1e-3)
+    # q-norm variant
+    eq = np.asarray(epe_loss_with_mask(pred, label, mask, q=0.4))
+    want_q = ((np.abs(np.asarray(pred - label)).sum(-1) + 1e-8) ** 0.4).mean((1, 2))
+    np.testing.assert_allclose(eq, want_q, rtol=1e-4)
+    # half mask halves the denominator
+    m2 = mask.at[:, :4].set(0.0)
+    e2 = np.asarray(epe_loss_with_mask(pred, label, m2))
+    d = np.linalg.norm(np.asarray(pred - label), axis=-1)
+    np.testing.assert_allclose(e2, (d * np.asarray(m2)[..., 0]).sum((1, 2))
+                               / np.asarray(m2)[..., 0].sum((1, 2)), rtol=1e-3)
+
+
+def test_multiscale_epe_weighting():
+    rng = np.random.RandomState(1)
+    flow = jnp.asarray(rng.randn(1, 64, 64, 2).astype(np.float32))
+    mask = jnp.ones((1, 64, 64, 1))
+    preds = [jnp.zeros((1, 64 // s, 64 // s, 2)) for s in (64, 32, 16, 8, 4)]
+    total = np.asarray(multiscale_epe(flow, mask, preds))
+    # zero preds: each scale term is epe(0, flow) == |flow| mean; upsampled
+    # zeros stay zero, so each term is the same base EPE
+    base = np.linalg.norm(np.asarray(flow), axis=-1).mean()
+    np.testing.assert_allclose(total, base * (0.005 + 0.01 + 0.02 + 0.08 + 0.32),
+                               rtol=1e-4)
+
+
+def test_kitti_outlier_rate():
+    label = jnp.zeros((1, 4, 4, 2)).at[..., 0].set(10.0)
+    pred = label.at[0, 0, 0, 0].add(5.0)  # err 5 > 3 and 50% > 5%
+    mask = jnp.ones((1, 4, 4, 1))
+    r = float(kitti_outlier_rate(pred, label, mask)[0])
+    assert abs(r - 1 / 16) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# trainer
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def trainer():
+    assert jax.device_count() == 8, "tests expect the virtual 8-CPU mesh"
+    return Trainer(_settings(), mesh=make_mesh())
+
+
+def test_train_loss_decreases_on_mesh():
+    """Deterministic descent on a fixed batch (augmentation disabled so the
+    target is constant across steps)."""
+    tr = Trainer(_settings(geo=None, color=None,
+                           target_shape=(TH, TW), orig_shape=(TH, TW)),
+                 mesh=make_mesh())
+    rng = np.random.RandomState(0)
+    b = 8
+    img1 = rng.randint(0, 255, (b, TH, TW, 3)).astype(np.uint8)
+    img2 = rng.randint(0, 255, (b, TH, TW, 3)).astype(np.uint8)
+    flow = (rng.randn(b, TH, TW, 2) * 2).astype(np.float32)
+    losses = []
+    for i in range(6):
+        m = tr.train_batch(img1, img2, flow, lr=2e-4)
+        losses.append(m["loss"])
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+
+
+def test_validate_and_predict(trainer):
+    rng = np.random.RandomState(3)
+    img1s = [rng.randint(0, 255, (70, 90, 3), dtype=np.uint8) for _ in range(3)]
+    img2s = [rng.randint(0, 255, (70, 90, 3), dtype=np.uint8) for _ in range(3)]
+    flows = [rng.randn(70, 90, 2).astype(np.float32) for _ in range(3)]
+    epe = trainer.validate(img1s, img2s, flows, batch_size=2)
+    assert np.isfinite(epe) and epe > 0
+    fl_all = trainer.validate(img1s, img2s, flows, batch_size=2,
+                              return_type="kitti")
+    assert 0 <= fl_all <= 1
+    outs = list(trainer.predict(img1s, img2s, batch_size=2))
+    assert len(outs) == 3
+    flow, occ, warped = outs[0]
+    assert flow.shape == (70, 90, 2)
+    assert occ.shape == (70, 90, 1)
+    assert warped.shape == (70, 90, 3)
+
+
+def test_checkpoint_roundtrip(tmp_path, trainer):
+    prefix = str(tmp_path / "ck")
+    step_before = trainer.steps
+    trainer.save(prefix)
+    t2 = Trainer(_settings(), mesh=make_mesh(), seed=123)
+    t2.load(prefix + ".npz")
+    assert t2.steps == step_before
+    for k in trainer.params:
+        np.testing.assert_array_equal(np.asarray(trainer.params[k]),
+                                      np.asarray(t2.params[k]))
+    mu_a = trainer._opt_flat()[0]
+    mu_b = t2._opt_flat()[0]
+    np.testing.assert_array_equal(np.asarray(mu_a["conv1a/w"]),
+                                  np.asarray(mu_b["conv1a/w"]))
+
+
+def test_cascade_frozen_head_training():
+    """fix_head: head params must not move; stage-2 params must move."""
+    s = _settings(model="MaskFlownet", fix_head=True, q=0.4)
+    tr = Trainer(s, mesh=make_mesh())
+    head_key = HEAD_SCOPE + "/conv1a/w"
+    tail_key = "conv1x/w"
+    head_before = np.asarray(tr.params[head_key]).copy()
+    tail_before = np.asarray(tr.params[tail_key]).copy()
+    img1, img2, flow = _batch()
+    for _ in range(2):
+        m = tr.train_batch(img1, img2, flow, lr=1e-3)
+    assert np.isfinite(m["loss"])
+    np.testing.assert_array_equal(np.asarray(tr.params[head_key]), head_before)
+    assert np.abs(np.asarray(tr.params[tail_key]) - tail_before).max() > 0
+
+
+def test_load_head_bootstraps_cascade(tmp_path):
+    """Standalone S checkpoint -> cascade head scope (reference
+    main.py:129-139 flow)."""
+    ts = Trainer(_settings(), mesh=make_mesh(), seed=7)
+    prefix = str(tmp_path / "s_ck")
+    ts.save(prefix)
+    tc = Trainer(_settings(model="MaskFlownet", fix_head=True),
+                 mesh=make_mesh(), seed=8)
+    tc.load_head(prefix + ".npz")
+    np.testing.assert_array_equal(
+        np.asarray(tc.params[HEAD_SCOPE + "/conv1a/w"]),
+        np.asarray(ts.params["conv1a/w"]))
+
+
+def test_train_batch_with_mask(trainer):
+    img1, img2, flow = _batch(seed=5)
+    mask = np.full((8, OH, OW, 1), 255, np.uint8)
+    mask[:, :10] = 0
+    m = trainer.train_batch(img1, img2, flow, mask, lr=1e-4)
+    assert np.isfinite(m["loss"]) and np.isfinite(m["epe"])
