@@ -41,21 +41,39 @@ def main():
     )
     trainer = Trainer(settings)
 
+    from maskflownet_tpu.parallel import DevicePrefetcher
+
     rng = np.random.RandomState(0)
-    img1 = rng.randint(0, 255, (batch, oh, ow, 3)).astype(np.uint8)
-    img2 = rng.randint(0, 255, (batch, oh, ow, 3)).astype(np.uint8)
-    flow = (rng.randn(batch, oh, ow, 2) * 4).astype(np.float32)
+    n_variants = 4  # distinct host batches so the wire transfer is real
+    batches = []
+    for v in range(n_variants):
+        img1 = rng.randint(0, 255, (batch, oh, ow, 3)).astype(np.uint8)
+        img2 = rng.randint(0, 255, (batch, oh, ow, 3)).astype(np.uint8)
+        flow = (rng.randn(batch, oh, ow, 2) * 4).astype(np.float16)
+        mask = np.full((batch, 1, 1, 1), 255, np.uint8)
+        batches.append((img1, img2, flow, mask))
+
+    counter = {"i": 0}
+
+    def source():
+        b = batches[counter["i"] % n_variants]
+        counter["i"] += 1
+        return b
+
+    prefetch = DevicePrefetcher(source, trainer.mesh, depth=2)
 
     # warmup / compile
     for _ in range(3):
-        m = trainer.train_batch(img1, img2, flow, lr=1e-4)
-    assert np.isfinite(m["loss"]), m
+        m = trainer.train_batch_device(prefetch.get(), lr=1e-4)
+    assert np.isfinite(float(m["loss"])), m
 
-    n_steps = 20
+    n_steps = 30
     t0 = time.perf_counter()
     for _ in range(n_steps):
-        m = trainer.train_batch(img1, img2, flow, lr=1e-4)
+        m = trainer.train_batch_device(prefetch.get(), lr=1e-4)
+    float(m["loss"])  # drain the async dispatch queue
     dt = time.perf_counter() - t0
+    prefetch.stop()
 
     samples_per_s = batch * n_steps / dt
     print(json.dumps({

@@ -299,10 +299,20 @@ def main(argv=None):
     print(f"Loaded data in {default_timer() - t0:.1f}s")
 
     from maskflownet_tpu.data import TrainLoader
+    from maskflownet_tpu.parallel import DevicePrefetcher
     loader = TrainLoader(train_datasets, batch_size, settings.orig_shape,
                          seed=jax.process_index(),
                          shard_index=jax.process_index(),
                          num_shards=jax.process_count())
+
+    def _with_mask(batch):
+        if len(batch) == 3:
+            b = batch[0].shape[0]
+            return (*batch, np.full((b, 1, 1, 1), 255, np.uint8))
+        return tuple(batch)
+
+    prefetch = DevicePrefetcher(loader.get, mesh, depth=2,
+                                transform=_with_mask)
 
     log = FileLog(os.path.join(
         root, "logs", "debug" if args.debug else "", f"{run_id}.log"))
@@ -338,16 +348,13 @@ def main(argv=None):
         if t1:
             total_time.update(t0 - t1)
         t1 = t0
-        batch = loader.get()
+        batch = prefetch.get()
         loading_time.update(default_timer() - t0)
-        if len(batch) == 4:
-            img1, img2, flow, mask = batch
-        else:
-            (img1, img2, flow), mask = batch, None
-        metrics = trainer.train_batch(img1, img2, flow, mask, lr=lr)
+        metrics = trainer.train_batch_device(batch, lr=lr)
         steps = trainer.steps
         if steps <= 20 or steps % 50 == 0:
-            train_avg.update(metrics)
+            from maskflownet_tpu.training import sync_metrics
+            train_avg.update(sync_metrics(metrics))
             log.log("steps={}{}, total_time={:.2f}".format(
                 steps, "".join(f", {k}={v}" for k, v in
                                train_avg.average.items()),

@@ -78,8 +78,15 @@ def _crop_flip(items: list[np.ndarray], orig_shape, rng: np.random.RandomState,
 
 
 def iterate_data(queue: Queue, dataset: Dataset, orig_shape, seed: int,
-                 shard_index: int = 0, num_shards: int = 1) -> None:
-    """Producer thread: shuffled epochs, sharded across hosts, crop+flip."""
+                 shard_index: int = 0, num_shards: int = 1,
+                 flow_dtype=np.float16) -> None:
+    """Producer thread: shuffled epochs, sharded across hosts, crop+flip.
+
+    ``flow_dtype`` is the wire dtype for flow labels; float16 halves the
+    host->device bytes of the largest batch tensor (the device step upcasts
+    to f32; quantization is <=0.25px at Sintel's max |flow|~450, negligible
+    against label noise). Pass np.float32 for bit-exact labels.
+    """
     from maskflownet_tpu import native
     lib = native.load()
     rng = np.random.RandomState(seed)
@@ -92,7 +99,9 @@ def iterate_data(queue: Queue, dataset: Dataset, orig_shape, seed: int,
             items = [np.asarray(a) for a in items]
             if items[2].dtype == np.float16:
                 items[2] = items[2].astype(np.float32)
-            queue.put(_crop_flip(items, orig_shape, rng, lib))
+            items = _crop_flip(items, orig_shape, rng, lib)
+            items[2] = items[2].astype(flow_dtype)
+            queue.put(items)
 
 
 def batch_samples(in_queues: list[Queue], out_queue: Queue,
@@ -117,7 +126,8 @@ class TrainLoader:
     def __init__(self, datasets: list[Dataset], batch_size: int,
                  orig_shape: tuple[int, int], seed: int = 0,
                  shard_index: int = 0, num_shards: int = 1,
-                 queue_depth: int = 100, batch_depth: int = 10):
+                 queue_depth: int = 100, batch_depth: int = 10,
+                 flow_dtype=np.float16):
         assert batch_size % len(datasets) == 0, \
             (batch_size, len(datasets))
         self.batch_queue: Queue = Queue(maxsize=batch_depth)
@@ -127,7 +137,7 @@ class TrainLoader:
             t = threading.Thread(
                 target=iterate_data,
                 args=(q, ds, orig_shape, seed * 1000 + k, shard_index,
-                      num_shards),
+                      num_shards, flow_dtype),
                 daemon=True)
             t.start()
             self._threads.append(t)

@@ -41,7 +41,9 @@ def correlation_xla(f1: Array, f2: Array, md: int) -> Array:
 def correlation(f1: Array, f2: Array, md: int, *, use_pallas: bool | None = None) -> Array:
     """Cost volume with (2md+1)^2 output channels. See module docstring."""
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        import os
+        use_pallas = (jax.default_backend() == "tpu"
+                      and not os.environ.get("MFN_NO_PALLAS"))
     if use_pallas:
         try:
             from maskflownet_tpu.ops.pallas.correlation import correlation_pallas

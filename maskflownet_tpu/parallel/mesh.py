@@ -42,6 +42,53 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+class DevicePrefetcher:
+    """Double-buffered host->device transfer pipeline.
+
+    Pulls host batches from ``source()`` on a background thread, starts the
+    device transfer immediately, and hands device-resident batches to the
+    training loop -- so input transfer overlaps step execution. This matters
+    most when the accelerator is behind a slow host link (measured here:
+    ~50-120 MB/s), where the reference-style synchronous ``split_and_load``
+    would serialize ~300ms of transfer into every step.
+
+    ``transform`` (optional) runs on the host thread before transfer (e.g.
+    float16-casting flow labels to halve wire bytes).
+    """
+
+    def __init__(self, source, mesh: Mesh, depth: int = 2, transform=None):
+        import queue
+        import threading
+
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._mesh = mesh
+        self._transform = transform
+        self._stop = False
+
+        def worker():
+            while not self._stop:
+                batch = source()
+                if batch is None:
+                    self._q.put(None)
+                    return
+                if self._transform is not None:
+                    batch = self._transform(batch)
+                dev = shard_batch(mesh, tuple(batch))
+                if jax.process_count() == 1 and mesh.devices.size == 1:
+                    dev = tuple(jax.device_put(x, mesh.devices.flat[0])
+                                for x in dev)
+                self._q.put(dev)
+
+        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread.start()
+
+    def get(self):
+        return self._q.get()
+
+    def stop(self):
+        self._stop = True
+
+
 def shard_batch(mesh: Mesh, batch):
     """Place host-local numpy arrays as a batch sharded over 'data'.
 
@@ -50,9 +97,13 @@ def shard_batch(mesh: Mesh, batch):
     ``jax.make_array_from_process_local_data`` (the input pipeline already
     loads only this host's fraction -- ``data.loader`` shard arguments).
     """
-    sh = batch_sharding(mesh)
     if jax.process_count() == 1:
-        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+        # Hand host arrays straight to the jitted step: its in_shardings
+        # drive the transfer. (A NamedSharding device_put takes a slow
+        # per-shard path on some PJRT backends -- measured 52ms vs 3.4ms for
+        # a 4.7MB array on the tunneled TPU backend here.)
+        return batch
+    sh = batch_sharding(mesh)
     return jax.tree_util.tree_map(
         lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
         batch)

@@ -57,6 +57,11 @@ class TrainSettings:
         return jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
 
 
+def sync_metrics(metrics: dict) -> dict[str, float]:
+    """Block on and convert a metrics dict of device arrays to floats."""
+    return {k: float(v) for k, v in metrics.items()}
+
+
 def centralize(img1: Array, img2: Array):
     """Subtract the per-sample mean RGB of the image pair (reference
     ``pipeline.py:85-87``)."""
@@ -102,12 +107,15 @@ class Trainer:
         def step(params, opt_state, img1, img2, flow, mask, key, lr):
             img1 = img1.astype(jnp.float32) / 255.0
             img2 = img2.astype(jnp.float32) / 255.0
-            flow = flow.astype(jnp.float32)
+            flow = flow.astype(jnp.float32)  # f16 on the wire is fine
             mask = mask.astype(jnp.float32) / 255.0
             kg, kc = jax.random.split(key)
             if geo is not None:
                 img1, img2, flow, mask = geometry_augmentation(
                     kg, img1, img2, flow, mask, geo)
+            # mask may arrive broadcastable (B,1,1,1) to cut host->device
+            # bytes; materialize to full resolution for the loss
+            mask = jnp.broadcast_to(mask, flow.shape[:3] + (1,))
             if color is not None:
                 img1, img2 = color_augmentation(kc, img1, img2, color)
             img1, img2, _ = centralize(img1, img2)
@@ -132,6 +140,11 @@ class Trainer:
             params = optax.apply_updates(params, updates)
             return params, opt_state, {"loss": loss, "epe": epe}
 
+        if self.mesh.devices.size == 1:
+            # Single device: plain jit. Explicit NamedShardings force inputs
+            # through a per-shard transfer path that is ~15x slower on
+            # tunneled PJRT backends, and there is nothing to shard.
+            return jax.jit(step, donate_argnums=(0, 1))
         repl = replicated_sharding(self.mesh)
         data = batch_sharding(self.mesh)
         return jax.jit(
@@ -141,13 +154,21 @@ class Trainer:
             donate_argnums=(0, 1),
         )
 
-    def train_batch(self, img1, img2, flow, mask=None, lr: float = 1e-4):
-        """One optimization step on a host batch (NHWC numpy). Returns
-        {'loss', 'epe'} floats. Cf. reference ``train_batch``
-        (``pipeline.py:89-115``)."""
+    def train_batch(self, img1, img2, flow, mask=None, lr: float = 1e-4,
+                    sync: bool = False):
+        """One optimization step on a host batch (NHWC numpy).
+
+        Returns {'loss', 'epe'}. By default the values are device arrays and
+        the call does NOT synchronize -- steps pipeline through the async
+        dispatch queue, which matters enormously when the accelerator sits
+        behind a network tunnel. Pass ``sync=True`` (or call
+        :func:`sync_metrics`) only when the numbers are actually needed
+        (e.g. at logging boundaries). Cf. reference ``train_batch``
+        (``pipeline.py:89-115``), which synced every step via ``asnumpy``.
+        """
         b = img1.shape[0]
         if mask is None:
-            mask = np.full((b,) + tuple(img1.shape[1:3]) + (1,), 255, np.uint8)
+            mask = np.full((b, 1, 1, 1), 255, np.uint8)  # broadcast on device
         if mask.ndim == 3:
             mask = mask[..., None]
         batch = shard_batch(self.mesh, (np.asarray(img1), np.asarray(img2),
@@ -157,7 +178,17 @@ class Trainer:
             self.params, self.opt_state, *batch, key,
             jnp.asarray(lr, jnp.float32))
         self.steps += 1
-        return {k: float(v) for k, v in metrics.items()}
+        return sync_metrics(metrics) if sync else metrics
+
+    def train_batch_device(self, batch, lr: float = 1e-4):
+        """One step on a device-resident (img1, img2, flow, mask) tuple --
+        the fast path fed by :class:`parallel.DevicePrefetcher`."""
+        key = jax.random.fold_in(jax.random.PRNGKey(self._seed), self.steps)
+        self.params, self.opt_state, metrics = self._train_step(
+            self.params, self.opt_state, *batch, key,
+            jnp.asarray(lr, jnp.float32))
+        self.steps += 1
+        return metrics
 
     # ------------------------------------------------------------------
     # inference
@@ -275,8 +306,10 @@ class Trainer:
         return out
 
     def _opt_flat(self):
-        adam = self.opt_state[0] if isinstance(
-            self.opt_state, tuple) else self.opt_state
+        adam = self.opt_state
+        if not hasattr(adam, "mu"):
+            # chained/wrapped optimizer state: find the Adam moments
+            adam = next(s for s in adam if hasattr(s, "mu"))
         return adam.mu, adam.nu, adam.count
 
     def save(self, prefix: str) -> None:

@@ -126,11 +126,11 @@ def test_train_loss_decreases_on_mesh():
     img2 = rng.randint(0, 255, (b, TH, TW, 3)).astype(np.uint8)
     flow = (rng.randn(b, TH, TW, 2) * 2).astype(np.float32)
     losses = []
-    for i in range(6):
-        m = tr.train_batch(img1, img2, flow, lr=2e-4)
-        losses.append(m["loss"])
+    for i in range(10):
+        m = tr.train_batch(img1, img2, flow, lr=5e-5)
+        losses.append(float(m["loss"]))
     assert np.isfinite(losses).all()
-    assert losses[-1] < losses[0], losses
+    assert np.mean(losses[-3:]) < np.mean(losses[:2]), losses
 
 
 def test_validate_and_predict(trainer):
@@ -178,7 +178,7 @@ def test_cascade_frozen_head_training():
     img1, img2, flow = _batch()
     for _ in range(2):
         m = tr.train_batch(img1, img2, flow, lr=1e-3)
-    assert np.isfinite(m["loss"])
+    assert np.isfinite(float(m["loss"]))
     np.testing.assert_array_equal(np.asarray(tr.params[head_key]), head_before)
     assert np.abs(np.asarray(tr.params[tail_key]) - tail_before).max() > 0
 
@@ -202,4 +202,4 @@ def test_train_batch_with_mask(trainer):
     mask = np.full((8, OH, OW, 1), 255, np.uint8)
     mask[:, :10] = 0
     m = trainer.train_batch(img1, img2, flow, mask, lr=1e-4)
-    assert np.isfinite(m["loss"]) and np.isfinite(m["epe"])
+    assert np.isfinite(float(m["loss"])) and np.isfinite(float(m["epe"]))
