@@ -126,7 +126,6 @@ def load_training_data(args, dataset_cfg, batch_size):
         validation["chairs"] = (va[0], va[1], va[2], None)
 
     elif name == "sintel":
-        orig_shape = [436, dataset_cfg.resize_shape.get(436) and 436][0], 1024
         orig_shape = (436, 1024)
         num_kitti = dataset_cfg.kitti.get(0)
         num_hd1k = dataset_cfg.hd1k.get(0)
@@ -244,6 +243,11 @@ def main(argv=None):
     from maskflownet_tpu.config import presets
     batch_size = args.batch or presets.BATCH_SIZE[dataset_name]
     settings = build_settings(args, config, dataset_cfg)
+    n_dev = jax.device_count()
+    if batch_size % n_dev != 0:
+        raise SystemExit(
+            f"global batch {batch_size} must be divisible by the device "
+            f"count {n_dev} (cf. reference main.py:371)")
     mesh = make_mesh()
     trainer = Trainer(settings, mesh=mesh)
 

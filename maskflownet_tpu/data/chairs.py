@@ -26,6 +26,8 @@ def read_trainval(split_path: str | None = None) -> tuple[list[int], list[int]]:
     with open(split_path) as fp:
         for i in range(1, 22873):
             line = fp.readline()
+            if not line.strip():
+                break  # tolerate truncated split files (subset datasets)
             (train if line[:1] == "1" else val).append(i)
     return train, val
 

@@ -42,8 +42,13 @@ def correlation(f1: Array, f2: Array, md: int, *, use_pallas: bool | None = None
     """Cost volume with (2md+1)^2 output channels. See module docstring."""
     if use_pallas is None:
         import os
+        # Opt-in (MFN_PALLAS=1): the fused kernel is numerically validated on
+        # TPU hardware, but Mosaic compile time for the fully unrolled 81-way
+        # form is prohibitive at production shapes; a tiled variant is the
+        # planned default. Correlation is not the current throughput
+        # bottleneck (host->device transfer is -- see bench history).
         use_pallas = (jax.default_backend() == "tpu"
-                      and not os.environ.get("MFN_NO_PALLAS"))
+                      and bool(os.environ.get("MFN_PALLAS")))
     if use_pallas:
         try:
             from maskflownet_tpu.ops.pallas.correlation import correlation_pallas
