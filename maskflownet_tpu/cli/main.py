@@ -47,6 +47,12 @@ def parse_args(argv=None):
                    help="experiment root (logs/ weights/ flows/)")
     p.add_argument("--compute_dtype", type=str, default="bfloat16",
                    choices=["bfloat16", "float32"])
+    p.add_argument("--profile", type=str, default="",
+                   help="capture a jax.profiler trace over steps START,STOP "
+                        "into <root>/profile (e.g. --profile 100,110)")
+    p.add_argument("--platform", type=str, default=None,
+                   help="force a JAX platform (e.g. cpu); overrides "
+                        "environment-pinned backends")
     return p.parse_args(argv)
 
 
@@ -198,6 +204,9 @@ def main(argv=None):
     args = parse_args(argv)
     import jax
 
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
     from maskflownet_tpu.config import load_config
     from maskflownet_tpu.training import (DictMovingAverage, FileLog,
                                           MovingAverage, Trainer,
@@ -342,8 +351,17 @@ def main(argv=None):
 
     threading.Thread(target=remove_files, daemon=True).start()
 
+    profile_range = (tuple(int(s) for s in args.profile.split(","))
+                     if args.profile else None)
+
     t1 = None
     while True:
+        if profile_range and trainer.steps + 1 == profile_range[0]:
+            try:
+                jax.profiler.start_trace(os.path.join(root, "profile"))
+            except Exception as e:  # backend may not support tracing
+                log.log(f"profiler unavailable: {e}")
+                profile_range = None
         lr = lr_at_step(lr_schedule, trainer.steps + 1)
         if lr is None:
             log.log(f"schedule exhausted at step {trainer.steps}")
@@ -356,13 +374,22 @@ def main(argv=None):
         loading_time.update(default_timer() - t0)
         metrics = trainer.train_batch_device(batch, lr=lr)
         steps = trainer.steps
+        if profile_range and steps == profile_range[1]:
+            from maskflownet_tpu.training import sync_metrics
+            sync_metrics(metrics)
+            try:
+                jax.profiler.stop_trace()
+                log.log(f"profiler trace written to {root}/profile")
+            except Exception:
+                pass
+            profile_range = None
         if steps <= 20 or steps % 50 == 0:
             from maskflownet_tpu.training import sync_metrics
             train_avg.update(sync_metrics(metrics))
-            log.log("steps={}{}, total_time={:.2f}".format(
+            log.log("steps={}{}, loading_time={:.3f}, total_time={:.3f}".format(
                 steps, "".join(f", {k}={v}" for k, v in
                                train_avg.average.items()),
-                total_time.average))
+                loading_time.average, total_time.average))
         if steps % validation_steps == 0 or steps <= 1:
             if validation:
                 val = run_validation(trainer, validation, batch_size,

@@ -42,11 +42,13 @@ def correlation(f1: Array, f2: Array, md: int, *, use_pallas: bool | None = None
     """Cost volume with (2md+1)^2 output channels. See module docstring."""
     if use_pallas is None:
         import os
-        # Opt-in (MFN_PALLAS=1): the fused kernel is numerically validated on
-        # TPU hardware, but Mosaic compile time for the fully unrolled 81-way
-        # form is prohibitive at production shapes; a tiled variant is the
-        # planned default. Correlation is not the current throughput
-        # bottleneck (host->device transfer is -- see bench history).
+        # Opt-in (MFN_PALLAS=1). The Pallas kernel is numerically validated
+        # on TPU hardware (fwd + custom-VJP backward), but on this PJRT
+        # backend XLA stages whole pallas_call operands/results in VMEM
+        # (16 MB scoped limit -> OOM at production batch sizes), and the
+        # measured XLA path is already at memory-bandwidth speed-of-light
+        # for this op (~30 MB of HBM traffic per call). Keep XLA by default;
+        # revisit when per-block output staging works on this backend.
         use_pallas = (jax.default_backend() == "tpu"
                       and bool(os.environ.get("MFN_PALLAS")))
     if use_pallas:

@@ -14,9 +14,11 @@ pixel by the flow (dy, dx). Out-of-bounds bilinear corners contribute zero
 (MXNet ``deformable_im2col`` semantics). Note this is *not* warp-then-conv:
 all 9 taps use the offset of the window center.
 
-Implementation: since taps are integer shifts of a single fractional offset,
-each tap equals ``backwarp(x, flow + (ky, kx))``. We gather the 9 warped maps
-and contract channels with one matmul (MXU-friendly 1x1 conv over 9*Cin).
+Implementation: all 9 taps share one fractional offset per pixel, so their
+36 bilinear corners collapse onto a 4x4 integer window around
+``floor(p + flow)``: 16 shared gathers (instead of 9 independent 4-corner
+warps), 9 bilinear recombinations, then one channel contraction as a single
+MXU matmul over 9*Cin.
 """
 
 from __future__ import annotations
@@ -25,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from maskflownet_tpu import nn
-from maskflownet_tpu.ops.warp import backwarp
+from maskflownet_tpu.ops.warp import _gather_nhwc
 
 Array = jax.Array
 
@@ -35,17 +37,42 @@ def flow_guided_deform_conv3x3(x: Array, flow: Array, weight: Array,
     """x: (N,H,W,Cin); flow: (N,H,W,2) (dy,dx) pixels at this level;
     weight: (3,3,Cin,Cout); bias: (Cout,) or None. -> (N,H,W,Cout)."""
     n, h, w, cin = x.shape
+    dtype = x.dtype
+    gy = jax.lax.broadcasted_iota(jnp.float32, (1, h, w), 1)
+    gx = jax.lax.broadcasted_iota(jnp.float32, (1, h, w), 2)
+    sy = gy + flow[..., 0].astype(jnp.float32)
+    sx = gx + flow[..., 1].astype(jnp.float32)
+    y0 = jnp.floor(sy)
+    x0 = jnp.floor(sx)
+    fy = (sy - y0)[..., None].astype(dtype)
+    fx = (sx - x0)[..., None].astype(dtype)
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+
+    # 16 shared corner gathers on the 4x4 window (u, v in -1..2)
+    corners = {}
+    for u in (-1, 0, 1, 2):
+        for v in (-1, 0, 1, 2):
+            yy = y0i + u
+            xx = x0i + v
+            valid = ((yy >= 0) & (yy < h) & (xx >= 0) & (xx < w))[..., None]
+            g = _gather_nhwc(x, jnp.clip(yy, 0, h - 1), jnp.clip(xx, 0, w - 1))
+            corners[(u, v)] = jnp.where(valid, g, jnp.zeros((), dtype))
+
+    # 9 taps: bilinear recombination with the shared fractional weights
     taps = []
     for ky in (-1, 0, 1):
         for kx in (-1, 0, 1):
-            off = jnp.asarray([ky, kx], dtype=jnp.float32)
-            taps.append(backwarp(x, flow.astype(jnp.float32) + off))
-    stacked = jnp.concatenate(taps, axis=-1)  # (N,H,W,9*Cin)
-    wmat = weight.reshape(9 * cin, -1)  # tap-major (ky,kx) rows, matching stack order
+            taps.append((1 - fy) * (1 - fx) * corners[(ky, kx)]
+                        + (1 - fy) * fx * corners[(ky, kx + 1)]
+                        + fy * (1 - fx) * corners[(ky + 1, kx)]
+                        + fy * fx * corners[(ky + 1, kx + 1)])
+    stacked = jnp.concatenate(taps, axis=-1)  # (N,H,W,9*Cin), tap-major
+    wmat = weight.reshape(9 * cin, -1)
     out = jax.lax.dot_general(
         stacked.reshape(-1, 9 * cin), wmat,
         dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=x.dtype,
+        preferred_element_type=dtype,
     ).reshape(n, h, w, -1)
     if bias is not None:
         out = out + bias

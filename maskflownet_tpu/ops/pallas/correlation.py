@@ -1,20 +1,30 @@
-"""Fused Pallas TPU kernel for the FlowNet-C correlation cost volume.
+"""Fused Pallas TPU kernels for the FlowNet-C correlation cost volume.
 
 Semantics identical to ``ops.correlation.correlation_xla`` (see that module's
 contract; reference ``network/MaskFlownet.py:193-195``): y-major displacement
 channels, zero padding, channel-mean normalization.
 
-Design (VMEM-resident, no HBM roundtrips between displacements):
-  * f2 is pre-padded by ``md`` in H and W (host-side jnp.pad, fused by XLA),
-    so every displacement becomes a *static* slice of the padded tile --
-    no dynamic shifts on the VPU.
-  * grid = (B,): each program holds one sample's f1 (H, W, C) and padded f2
-    (H+2md, W+2md, C) in VMEM and emits (H, W, D^2). At the largest use site
-    (level 2 of a 320x448 input: 80x112x32, md=4) this is ~3 MB of VMEM.
-  * Channels sit on the lane axis, so the multiply + channel-reduce is a
-    VPU lane reduction; each f2 element is read from HBM exactly once and
-    reused for all D^2 displacements (the XLA fallback re-reads it D^2
-    times from HBM when fusion fails).
+Design:
+  * f2 (and, in the backward kernels, f1 / the cotangent) is pre-padded by
+    ``md`` so displacements become slices -- no VPU shifts.
+  * 3-D grids (batch, H-tile, dy) / (batch, dy, H-tile) with D = 2md+1:
+    each program computes one H-tile's D dx-channels for one ``dy``. The
+    per-program instruction count stays ~D (a fully unrolled D^2 kernel
+    takes Mosaic minutes to compile) and VMEM stays small (a fully
+    per-batch kernel overflows the 16MB scoped limit with its f32
+    temporaries at production shapes). Grid orders are chosen so the large
+    padded blocks keep a constant block index on the fastest axis (Pallas
+    skips re-copies between consecutive identical block indices).
+  * Mosaic requires lane-dim blocks to be full or 128-divisible, so per-dy
+    channel groups live in their own *dimension*: kernels produce
+    (N, D, H, W, D) and the wrapper transposes to (N, H, W, D^2) (cheap XLA
+    transpose). Backward receives the cotangent pre-arranged the same way.
+  * Products stay in the input dtype; only the channel reduction accumulates
+    in f32 (``jnp.sum(..., dtype=f32)``), on the lane axis.
+  * Backward kernels accumulate df1/df2 across the dy grid axis in a
+    revisited output block (zero-initialized at dy == 0).
+
+Gradient support via ``jax.custom_vjp`` (pallas_call is not differentiable).
 """
 
 from __future__ import annotations
@@ -29,75 +39,100 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 
-def _corr_kernel(f1_ref, f2_ref, out_ref, *, md: int, n_ch: int):
+def _h_tile(h: int, cap: int = 16) -> int:
+    for t in range(min(cap, h), 0, -1):
+        if h % t == 0:
+            return t
+    return h
+
+
+def _corr_fwd_kernel(f1_ref, f2p_ref, out_ref, *, md: int, n_ch: int,
+                     th: int):
     d = 2 * md + 1
-    h = f1_ref.shape[1]
     w = f1_ref.shape[2]
-    a = f1_ref[0].astype(jnp.float32)  # (H, W, C)
+    ht = pl.program_id(1)
+    a = f1_ref[0]                                           # (TH, W, C)
     inv_c = 1.0 / n_ch
     outs = []
     for dy in range(d):
+        brows = f2p_ref[0, pl.ds(ht * th + dy, th), :, :]   # (TH, W+2md, C)
         for dx in range(d):
-            b = f2_ref[0, dy:dy + h, dx:dx + w, :].astype(jnp.float32)
-            outs.append(jnp.sum(a * b, axis=-1) * inv_c)  # (H, W)
+            b = brows[:, dx:dx + w, :]
+            outs.append(jnp.sum(a * b, axis=-1, dtype=jnp.float32) * inv_c)
     out_ref[0] = jnp.stack(outs, axis=-1).astype(out_ref.dtype)
 
 
 def _corr_fwd_call(f1: Array, f2: Array, md: int, interpret: bool) -> Array:
     n, h, w, c = f1.shape
     d = 2 * md + 1
+    th = _h_tile(h)
     f2p = jnp.pad(f2, ((0, 0), (md, md), (md, md), (0, 0)))
-    kernel = functools.partial(_corr_kernel, md=md, n_ch=c)
     return pl.pallas_call(
-        kernel,
-        grid=(n,),
+        functools.partial(_corr_fwd_kernel, md=md, n_ch=c, th=th),
+        grid=(n, h // th),
         in_specs=[
-            pl.BlockSpec((1, h, w, c), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((1, th, w, c), lambda b, ht: (b, ht, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, h + 2 * md, w + 2 * md, c),
-                         lambda b: (b, 0, 0, 0),
+                         lambda b, ht: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, h, w, d * d), lambda b: (b, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, th, w, d * d),
+                               lambda b, ht: (b, ht, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, h, w, d * d), f1.dtype),
         interpret=interpret,
     )(f1, f2p)
 
 
-def _corr_bwd_f1_kernel(g_ref, f2p_ref, out_ref, *, md: int, n_ch: int):
-    """dL/df1[y,x,c] = sum_d g[y,x,d] * f2[y+dy-md, x+dx-md, c] / C."""
+def _corr_bwd_f1_kernel(g_ref, f2p_ref, out_ref, *, md: int, n_ch: int,
+                        th: int):
+    """dL/df1[y,x,c] = sum_d g[y,x,d] * f2[y+dy-md, x+dx-md, c] / C;
+    accumulated over the dy grid axis into the revisited out block."""
     d = 2 * md + 1
-    h, w = g_ref.shape[1], g_ref.shape[2]
+    w = out_ref.shape[2]
+    dy = pl.program_id(1)
+    ht = pl.program_id(2)
+
+    @pl.when(dy == 0)
+    def _():
+        out_ref[0] = jnp.zeros_like(out_ref[0])
+
+    brows = f2p_ref[0, pl.ds(ht * th + dy, th), :, :]
     inv_c = 1.0 / n_ch
-    acc = jnp.zeros((h, w, f2p_ref.shape[3]), jnp.float32)
-    for dy in range(d):
-        for dx in range(d):
-            g = g_ref[0, :, :, dy * d + dx].astype(jnp.float32)[..., None]
-            b = f2p_ref[0, dy:dy + h, dx:dx + w, :].astype(jnp.float32)
-            acc = acc + g * b
-    out_ref[0] = (acc * inv_c).astype(out_ref.dtype)
+    acc = out_ref[0].astype(jnp.float32)
+    for dx in range(d):
+        g = g_ref[0, 0, :, :, dx][..., None]
+        b = brows[:, dx:dx + w, :]
+        acc = acc + (g * b).astype(jnp.float32) * inv_c
+    out_ref[0] = acc.astype(out_ref.dtype)
 
 
-def _corr_bwd_f2_kernel(gp_ref, f1p_ref, out_ref, *, md: int, n_ch: int):
+def _corr_bwd_f2_kernel(gp_ref, f1p_ref, out_ref, *, md: int, n_ch: int,
+                        th: int):
     """dL/df2[y,x,c] = sum_d g[y-(dy-md), x-(dx-md), d] * f1[same, c] / C.
-
-    ``gp``/``f1p`` arrive padded by md; the summand for displacement (dy,dx)
-    is the static slice starting at (2md-dy, 2md-dx) of their product.
-    """
+    gp/f1p arrive padded by md; the (dy,dx) summand is the slice starting at
+    (2md-dy, 2md-dx). Accumulated over the dy grid axis."""
     d = 2 * md + 1
-    hp, wp = gp_ref.shape[1], gp_ref.shape[2]
-    h, w = hp - 2 * md, wp - 2 * md
+    w = out_ref.shape[2]
+    dy = pl.program_id(1)
+    ht = pl.program_id(2)
+
+    @pl.when(dy == 0)
+    def _():
+        out_ref[0] = jnp.zeros_like(out_ref[0])
+
+    y0 = ht * th + 2 * md - dy
+    grows = gp_ref[0, 0, pl.ds(y0, th), :, :]   # (TH, W+2md, D) for this dy
+    arows = f1p_ref[0, pl.ds(y0, th), :, :]     # (TH, W+2md, C)
     inv_c = 1.0 / n_ch
-    acc = jnp.zeros((h, w, f1p_ref.shape[3]), jnp.float32)
-    for dy in range(d):
-        for dx in range(d):
-            y0, x0 = 2 * md - dy, 2 * md - dx
-            g = gp_ref[0, y0:y0 + h, x0:x0 + w, dy * d + dx].astype(
-                jnp.float32)[..., None]
-            a = f1p_ref[0, y0:y0 + h, x0:x0 + w, :].astype(jnp.float32)
-            acc = acc + g * a
-    out_ref[0] = (acc * inv_c).astype(out_ref.dtype)
+    acc = out_ref[0].astype(jnp.float32)
+    for dx in range(d):
+        x0 = 2 * md - dx
+        g = grows[:, x0:x0 + w, dx][..., None]
+        a = arows[:, x0:x0 + w, :]
+        acc = acc + (g * a).astype(jnp.float32) * inv_c
+    out_ref[0] = acc.astype(out_ref.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
@@ -114,38 +149,50 @@ def _corr_bwd(md, interpret, res, g):
     f1, f2 = res
     n, h, w, c = f1.shape
     d = 2 * md + 1
-    pad = ((0, 0), (md, md), (md, md), (0, 0))
-    f2p = jnp.pad(f2, pad)
+    th = _h_tile(h)
+    pad4 = ((0, 0), (md, md), (md, md), (0, 0))
+
+    # cotangent rearranged to (N, D_dy, H, W, D_dx)
+    g5 = g.reshape(n, h, w, d, d).transpose(0, 3, 1, 2, 4)
+
+    f2p = jnp.pad(f2, pad4)
     df1 = pl.pallas_call(
-        functools.partial(_corr_bwd_f1_kernel, md=md, n_ch=c),
-        grid=(n,),
+        functools.partial(_corr_bwd_f1_kernel, md=md, n_ch=c, th=th),
+        grid=(n, d, h // th),
         in_specs=[
-            pl.BlockSpec((1, h, w, d * d), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((1, 1, th, w, d),
+                         lambda b, dy, ht: (b, dy, ht, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, h + 2 * md, w + 2 * md, c),
-                         lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+                         lambda b, dy, ht: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, h, w, c), lambda b: (b, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, th, w, c),
+                               lambda b, dy, ht: (b, ht, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(f1.shape, f1.dtype),
         interpret=interpret,
-    )(g, f2p)
-    gp = jnp.pad(g, pad)
-    f1p = jnp.pad(f1, pad)
+    )(g5, f2p)
+
+    gp5 = jnp.pad(g5, ((0, 0), (0, 0), (md, md), (md, md), (0, 0)))
+    f1p = jnp.pad(f1, pad4)
     df2 = pl.pallas_call(
-        functools.partial(_corr_bwd_f2_kernel, md=md, n_ch=c),
-        grid=(n,),
+        functools.partial(_corr_bwd_f2_kernel, md=md, n_ch=c, th=th),
+        grid=(n, d, h // th),
         in_specs=[
-            pl.BlockSpec((1, h + 2 * md, w + 2 * md, d * d),
-                         lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, h + 2 * md, w + 2 * md, d),
+                         lambda b, dy, ht: (b, dy, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, h + 2 * md, w + 2 * md, c),
-                         lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+                         lambda b, dy, ht: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, h, w, c), lambda b: (b, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, th, w, c),
+                               lambda b, dy, ht: (b, ht, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(f2.shape, f2.dtype),
         interpret=interpret,
-    )(gp, f1p)
+    )(gp5, f1p)
     return df1, df2
 
 
