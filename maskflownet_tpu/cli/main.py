@@ -53,6 +53,12 @@ def parse_args(argv=None):
     p.add_argument("--platform", type=str, default=None,
                    help="force a JAX platform (e.g. cpu); overrides "
                         "environment-pinned backends")
+    p.add_argument("--device_cache", type=int, default=0,
+                   help="keep N batches resident in device HBM with "
+                        "background refresh (bounded data echoing); "
+                        "decouples training throughput from host->device "
+                        "link bandwidth. 0 = classic double-buffered "
+                        "prefetch")
     return p.parse_args(argv)
 
 
@@ -324,8 +330,14 @@ def main(argv=None):
             return (*batch, np.full((b, 1, 1, 1), 255, np.uint8))
         return tuple(batch)
 
-    prefetch = DevicePrefetcher(loader.get, mesh, depth=2,
-                                transform=_with_mask)
+    if args.device_cache:
+        from maskflownet_tpu.data import DeviceBatchCache
+        prefetch = DeviceBatchCache(loader.get, mesh,
+                                    slots=args.device_cache,
+                                    transform=_with_mask)
+    else:
+        prefetch = DevicePrefetcher(loader.get, mesh, depth=2,
+                                    transform=_with_mask)
 
     log = FileLog(os.path.join(
         root, "logs", "debug" if args.debug else "", f"{run_id}.log"))

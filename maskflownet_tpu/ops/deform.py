@@ -32,10 +32,88 @@ from maskflownet_tpu.ops.warp import _gather_nhwc
 Array = jax.Array
 
 
+def _onehot_deform(x: Array, flow: Array, weight: Array,
+                   bias: Array | None, row_tile: int = 16) -> Array:
+    """MXU formulation of the flow-guided deform conv (see
+    ``ops/warp.py::_onehot_sample`` for the principle).
+
+    All 9 taps share one fractional offset, and a tap's row-interpolation
+    weights are the center tap's shifted by ky — so stage 1 is THREE one-hot
+    matmuls of the same weight matrix against y-shifted (zero-padded) copies
+    of the feature map; stage 2 selects/blends columns per tap on the VPU;
+    stage 3 is the usual (P, 9*Cin) @ (9*Cin, Cout) channel contraction.
+    No gathers anywhere, and the autodiff transpose is matmuls (no scatter).
+    """
+    n, h, w, cin = x.shape
+    dtype = x.dtype
+    gy = jax.lax.broadcasted_iota(jnp.float32, (1, h, w), 1)
+    gx = jax.lax.broadcasted_iota(jnp.float32, (1, h, w), 2)
+    sy = gy + flow[..., 0].astype(jnp.float32)
+    sx = gx + flow[..., 1].astype(jnp.float32)
+
+    # Row/col support must extend one step past the image on each side: a
+    # tap at ky=-1 sampling coordinate H-1 reads weight index h=H (center
+    # coordinate sy=H), so the one-hot axis covers [-1, H] / [-1, W].
+    # y-shifted, W-padded copies for the three tap rows.
+    xpad = jnp.pad(x, ((0, 0), (2, 2), (2, 2), (0, 0)))
+    x_k = jnp.stack([
+        xpad[:, 1 + ky:1 + ky + h + 2].reshape(n, h + 2, (w + 4) * cin)
+        for ky in (-1, 0, 1)])  # (3, N, H+2, (W+4)*Cin)
+
+    hh = jnp.arange(h + 2, dtype=jnp.float32) - 1.0
+    ww = jnp.arange(w + 2, dtype=jnp.float32) - 1.0
+    rt = min(row_tile, h)
+    pad = (-h) % rt
+    if pad:
+        sy = jnp.pad(sy, ((0, 0), (0, pad), (0, 0)), constant_values=-3.0)
+        sx = jnp.pad(sx, ((0, 0), (0, pad), (0, 0)), constant_values=-3.0)
+    nt = (h + pad) // rt
+    sy_t = sy.reshape(n, nt, rt * w).transpose(1, 0, 2)
+    sx_t = sx.reshape(n, nt, rt * w).transpose(1, 0, 2)
+    wmat = weight.reshape(9 * cin, -1)
+
+    def tile(_, t):
+        syt, sxt = t  # (N, P)
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(syt[..., None] - hh)).astype(dtype)
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(sxt[..., None] - ww)).astype(dtype)
+        taps = []
+        for ky in (-1, 0, 1):
+            rows = jax.lax.dot_general(  # (N,P,H+2) @ (N,H+2,(W+4)C)
+                wy, x_k[ky + 1], (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=dtype)
+            rows = rows.reshape(rows.shape[0], rows.shape[1], w + 4, cin)
+            for kx in (-1, 0, 1):
+                # wx spans ww in [-1, W]; col j of rows is img col j-2+kx
+                taps.append(jnp.einsum(
+                    "npw,npwc->npc", wx, rows[:, :, kx + 1:kx + 1 + w + 2]))
+        stacked = jnp.concatenate(taps, axis=-1)  # (N, P, 9*Cin) tap-major
+        out = jax.lax.dot_general(
+            stacked, wmat, (((2,), (0,)), ((), ())),
+            preferred_element_type=dtype)
+        return None, out
+
+    _, outs = jax.lax.scan(tile, None, (sy_t, sx_t))  # (nt, N, P, Cout)
+    out = outs.transpose(1, 0, 2, 3).reshape(n, nt * rt, w, -1)
+    if pad:
+        out = out[:, :h]
+    if bias is not None:
+        out = out + bias
+    return out
+
+
 def flow_guided_deform_conv3x3(x: Array, flow: Array, weight: Array,
-                               bias: Array | None = None) -> Array:
+                               bias: Array | None = None,
+                               method: str = "auto") -> Array:
     """x: (N,H,W,Cin); flow: (N,H,W,2) (dy,dx) pixels at this level;
-    weight: (3,3,Cin,Cout); bias: (Cout,) or None. -> (N,H,W,Cout)."""
+    weight: (3,3,Cin,Cout); bias: (Cout,) or None. -> (N,H,W,Cout).
+
+    ``method``: 'gather' (16 shared corner gathers; best off-TPU), 'onehot'
+    (MXU matmul formulation; best on TPU), or 'auto'.
+    """
+    if method == "auto":
+        method = "onehot" if jax.default_backend() == "tpu" else "gather"
+    if method == "onehot":
+        return _onehot_deform(x, flow, weight, bias)
     n, h, w, cin = x.shape
     dtype = x.dtype
     gy = jax.lax.broadcasted_iota(jnp.float32, (1, h, w), 1)

@@ -35,8 +35,71 @@ def _gather_nhwc(img: Array, iy: Array, ix: Array) -> Array:
     ).reshape(idx.shape + (c,))
 
 
-def backwarp_coords(img: Array, sy: Array, sx: Array, *, clamp: bool = False) -> Array:
-    """Bilinear sample ``img`` (N,H,W,C) at float coords (sy, sx), each (N,Ho,Wo)."""
+def _onehot_sample(img: Array, sy: Array, sx: Array,
+                   row_tile: int = 16) -> Array:
+    """Bilinear sample via two one-hot contractions on the MXU.
+
+    TPU-native formulation: per-pixel gathers serialize on TPU (XLA lowers
+    them to scalar loop nests), but the bilinear kernel ``max(0, 1-|s-i|)``
+    *is* a one-hot matrix with the interpolation weights as its two nonzeros,
+    so sampling = (P,H) x (H,W*C) matmul (row interpolation) followed by a
+    per-pixel weighted reduction over W (column interpolation). Both stages
+    are dense MXU/VPU work; the autodiff transpose is again matmuls, so the
+    backward pass avoids TPU scatter entirely. Zero-padding semantics match
+    the gather path exactly (weights vanish outside [0, dim-1]).
+
+    Output rows are processed in ``row_tile`` tiles under ``lax.scan`` to
+    bound the (N, P, W, C) stage-1 intermediate.
+    """
+    n, h, w, c = img.shape
+    _, ho, wo = sy.shape
+    dtype = img.dtype
+    img_flat = img.reshape(n, h, w * c)
+    hh = jnp.arange(h, dtype=jnp.float32)
+    ww = jnp.arange(w, dtype=jnp.float32)
+
+    rt = min(row_tile, ho)
+    pad = (-ho) % rt
+    if pad:
+        # padded rows sample far outside -> all-zero weights -> zero output
+        sy = jnp.pad(sy, ((0, 0), (0, pad), (0, 0)), constant_values=-2.0)
+        sx = jnp.pad(sx, ((0, 0), (0, pad), (0, 0)), constant_values=-2.0)
+    nt = (ho + pad) // rt
+    sy_t = sy.reshape(n, nt, rt * wo).transpose(1, 0, 2)
+    sx_t = sx.reshape(n, nt, rt * wo).transpose(1, 0, 2)
+
+    def tile(_, t):
+        syt, sxt = t  # each (N, P)
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(syt[..., None] - hh)).astype(dtype)
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(sxt[..., None] - ww)).astype(dtype)
+        rows = jax.lax.dot_general(  # (N,P,H) @ (N,H,W*C) -> (N,P,W*C)
+            wy, img_flat, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=dtype)
+        rows = rows.reshape(rows.shape[0], rows.shape[1], w, c)
+        return None, jnp.einsum("npw,npwc->npc", wx, rows)
+
+    _, outs = jax.lax.scan(tile, None, (sy_t, sx_t))  # (nt, N, P, C)
+    out = outs.transpose(1, 0, 2, 3).reshape(n, nt * rt, wo, c)
+    return out[:, :ho] if pad else out
+
+
+def backwarp_coords(img: Array, sy: Array, sx: Array, *, clamp: bool = False,
+                    method: str = "auto") -> Array:
+    """Bilinear sample ``img`` (N,H,W,C) at float coords (sy, sx), each (N,Ho,Wo).
+
+    ``method``: 'gather' (4-corner take_along_axis; best off-TPU), 'onehot'
+    (MXU matmul formulation; best on TPU), or 'auto'.
+    """
+    if method == "auto":
+        method = "onehot" if jax.default_backend() == "tpu" else "gather"
+    if method == "onehot":
+        sy = sy.astype(jnp.float32)
+        sx = sx.astype(jnp.float32)
+        if clamp:
+            h, w = img.shape[1], img.shape[2]
+            sy = jnp.clip(sy, 0.0, h - 1.0)
+            sx = jnp.clip(sx, 0.0, w - 1.0)
+        return _onehot_sample(img, sy, sx)
     n, h, w, c = img.shape
     compute_dtype = img.dtype
     sy = sy.astype(jnp.float32)
@@ -72,14 +135,15 @@ def backwarp_coords(img: Array, sy: Array, sx: Array, *, clamp: bool = False) ->
     return out
 
 
-def backwarp(img: Array, flow: Array, *, clamp: bool = False) -> Array:
+def backwarp(img: Array, flow: Array, *, clamp: bool = False,
+             method: str = "auto") -> Array:
     """Backward-warp ``img`` (N,H,W,C) by ``flow`` (N,H,W,2) in (dy, dx) pixels."""
     n, h, w, _ = img.shape
     gy = jax.lax.broadcasted_iota(jnp.float32, (1, h, w), 1)
     gx = jax.lax.broadcasted_iota(jnp.float32, (1, h, w), 2)
     sy = gy + flow[..., 0].astype(jnp.float32)
     sx = gx + flow[..., 1].astype(jnp.float32)
-    return backwarp_coords(img, sy, sx, clamp=clamp)
+    return backwarp_coords(img, sy, sx, clamp=clamp, method=method)
 
 
 def affine_grid(theta: Array, height: int, width: int) -> tuple[Array, Array]:
@@ -101,7 +165,8 @@ def affine_grid(theta: Array, height: int, width: int) -> tuple[Array, Array]:
 
 
 def grid_sample_normalized(img: Array, gx: Array, gy: Array,
-                           *, clamp: bool = False) -> Array:
+                           *, clamp: bool = False,
+                           method: str = "auto") -> Array:
     """Bilinear sample with normalized [-1,1] coords (MXNet BilinearSampler).
 
     ``sx = (gx + 1) * (W - 1) / 2``; zero padding outside unless ``clamp``.
@@ -109,4 +174,4 @@ def grid_sample_normalized(img: Array, gx: Array, gy: Array,
     n, h, w, c = img.shape
     sx = (gx + 1.0) * ((w - 1) / 2.0)
     sy = (gy + 1.0) * ((h - 1) / 2.0)
-    return backwarp_coords(img, sy, sx, clamp=clamp)
+    return backwarp_coords(img, sy, sx, clamp=clamp, method=method)

@@ -314,3 +314,43 @@ def test_resize_bilinear_np_matches_device_op():
     a = resize_bilinear_np(x, 17, 23)
     b = np.asarray(resize_bilinear(jnp.asarray(x[None]), 17, 23))[0]
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_device_batch_cache_serves_and_refreshes():
+    """DeviceBatchCache: first get() blocks until a slot is resident; slots
+    refresh in the background; no immediate slot repeats while refreshing
+    lags; echo accounting is consistent."""
+    import time
+
+    from maskflownet_tpu.data import DeviceBatchCache
+    from maskflownet_tpu.parallel import make_mesh
+
+    mesh = make_mesh()
+    n_src = 5
+    calls = {"n": 0}
+
+    def source():
+        i = calls["n"]
+        calls["n"] += 1
+        if i >= n_src:
+            return None
+        time.sleep(0.01)
+        return (np.full((8, 4, 4, 3), i, np.uint8),
+                np.zeros((8, 4, 4, 2), np.float16))
+
+    cache = DeviceBatchCache(source, mesh, slots=3, seed=1)
+    got = [cache.get() for _ in range(10)]
+    for b in got:
+        assert len(b) == 2 and b[0].shape == (8, 4, 4, 3)
+    # wait for the refresh thread to drain the source
+    for _ in range(100):
+        if cache.transfers == n_src:
+            break
+        time.sleep(0.05)
+    assert cache.transfers == n_src
+    assert cache.serves == 10
+    assert cache.echo_factor == 10 / n_src
+    # values must come from the source (device round-trip intact)
+    vals = {int(np.asarray(b[0])[0, 0, 0, 0]) for b in got}
+    assert vals <= set(range(n_src))
+    cache.stop()

@@ -245,3 +245,76 @@ def test_backwarp_grad_flows():
     assert np.isfinite(np.asarray(gi)).all()
     assert np.isfinite(np.asarray(gf)).all()
     assert np.abs(np.asarray(gf)).sum() > 0
+
+
+class TestOnehotFormulations:
+    """MXU one-hot matmul formulations must match the gather reference
+    exactly (f32), including zero-pad boundary semantics and gradients."""
+
+    def _coords(self, n, h, w, ho, wo, seed=3):
+        r = np.random.RandomState(seed)
+        sy = (r.rand(n, ho, wo) * (h + 4) - 2).astype(np.float32)
+        sx = (r.rand(n, wo and ho, wo) * (w + 4) - 2).astype(np.float32)
+        return jnp.asarray(sy), jnp.asarray(sx)
+
+    @pytest.mark.parametrize("clamp", [False, True])
+    def test_backwarp_coords_onehot_matches_gather(self, clamp):
+        from maskflownet_tpu.ops.warp import backwarp_coords
+        r = np.random.RandomState(0)
+        img = jnp.asarray(r.rand(2, 9, 13, 5).astype(np.float32))
+        sy, sx = self._coords(2, 9, 13, 7, 11)
+        a = backwarp_coords(img, sy, sx, clamp=clamp, method="gather")
+        b = backwarp_coords(img, sy, sx, clamp=clamp, method="onehot")
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_backwarp_coords_onehot_grads_match(self):
+        from maskflownet_tpu.ops.warp import backwarp_coords
+        r = np.random.RandomState(1)
+        img = jnp.asarray(r.rand(1, 8, 10, 3).astype(np.float32))
+        sy, sx = self._coords(1, 8, 10, 8, 10, seed=4)
+        # keep coords off exact integers: |.| grads differ there (measure-zero)
+        sy = jnp.floor(sy) + 0.3
+        sx = jnp.floor(sx) + 0.6
+
+        def loss(m):
+            def f(i, y, x):
+                return jnp.sum(backwarp_coords(i, y, x, method=m) ** 2)
+            return jax.grad(f, argnums=(0, 1, 2))(img, sy, sx)
+
+        ga = loss("gather")
+        gb = loss("onehot")
+        for x, y in zip(ga, gb):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=1e-4, atol=1e-4)
+
+    def test_deform_conv_onehot_matches_gather(self):
+        from maskflownet_tpu.ops.deform import flow_guided_deform_conv3x3
+        r = np.random.RandomState(2)
+        x = jnp.asarray(r.rand(2, 10, 12, 6).astype(np.float32))
+        flow = jnp.asarray((r.rand(2, 10, 12, 2) * 8 - 4).astype(np.float32))
+        wgt = jnp.asarray(r.randn(3, 3, 6, 4).astype(np.float32) * 0.2)
+        bias = jnp.asarray(r.randn(4).astype(np.float32))
+        a = flow_guided_deform_conv3x3(x, flow, wgt, bias, method="gather")
+        b = flow_guided_deform_conv3x3(x, flow, wgt, bias, method="onehot")
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_deform_conv_onehot_boundary_taps(self):
+        """Samples whose off-center taps land exactly on the image edge —
+        the case that requires the extended [-1, dim] one-hot support."""
+        from maskflownet_tpu.ops.deform import flow_guided_deform_conv3x3
+        r = np.random.RandomState(5)
+        x = jnp.asarray(r.rand(1, 6, 7, 2).astype(np.float32))
+        wgt = jnp.asarray(r.randn(3, 3, 2, 3).astype(np.float32) * 0.3)
+        # push every pixel's window center one past the bottom-right corner
+        flow = jnp.stack([
+            jnp.full((1, 6, 7), 6.0) - jax.lax.broadcasted_iota(
+                jnp.float32, (1, 6, 7), 1),
+            jnp.full((1, 6, 7), 7.0) - jax.lax.broadcasted_iota(
+                jnp.float32, (1, 6, 7), 2),
+        ], axis=-1)
+        a = flow_guided_deform_conv3x3(x, flow, wgt, None, method="gather")
+        b = flow_guided_deform_conv3x3(x, flow, wgt, None, method="onehot")
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
