@@ -111,7 +111,7 @@ def flow_guided_deform_conv3x3(x: Array, flow: Array, weight: Array,
     (MXU matmul formulation; best on TPU), or 'auto'.
     """
     if method == "auto":
-        method = "onehot" if jax.default_backend() == "tpu" else "gather"
+        method = "gather"  # see ops/warp.py note; pallas path supersedes
     if method == "onehot":
         return _onehot_deform(x, flow, weight, bias)
     n, h, w, cin = x.shape

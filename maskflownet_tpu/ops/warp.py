@@ -91,7 +91,10 @@ def backwarp_coords(img: Array, sy: Array, sx: Array, *, clamp: bool = False,
     (MXU matmul formulation; best on TPU), or 'auto'.
     """
     if method == "auto":
-        method = "onehot" if jax.default_backend() == "tpu" else "gather"
+        # measured (benchmarks/op_loop_bwd.py): gather wins fwd+bwd on this
+        # TPU backend (onehot pays scan-residual HBM traffic in backward);
+        # the Pallas kernels supersede both where available
+        method = "gather"
     if method == "onehot":
         sy = sy.astype(jnp.float32)
         sx = sx.astype(jnp.float32)
