@@ -30,39 +30,48 @@ def main():
     oh, ow = 384, 512   # chairs orig_shape
     batch = 8
 
+    # Production input placement (CLI defaults): geometric augmentation on
+    # the host input-pipeline thread, color augmentation on device (fresh
+    # per echo-reuse), batches HBM-cached with background refresh.
     settings = TrainSettings(
         model="MaskFlownet_S",
         model_cfg=ModelConfig(),
         compute_dtype="bfloat16",
         target_shape=(th, tw),
         orig_shape=(oh, ow),
-        geo=presets.geometry_aug_config("chairs", (th, tw), (oh, ow)),
+        geo=None,
         color=presets.color_aug_config("chairs"),
     )
     trainer = Trainer(settings)
 
+    from maskflownet_tpu.augment.host_geometry import batch_host_geometry
+    from maskflownet_tpu.config.presets import geometry_aug_config
     from maskflownet_tpu.data import DeviceBatchCache
 
+    geo_cfg = geometry_aug_config("chairs", (th, tw), (oh, ow))
     rng = np.random.RandomState(0)
     n_variants = 8  # distinct host batches cycling through the refresh thread
     batches = []
     for v in range(n_variants):
         img1 = rng.randint(0, 255, (batch, oh, ow, 3)).astype(np.uint8)
         img2 = rng.randint(0, 255, (batch, oh, ow, 3)).astype(np.uint8)
-        flow = (rng.randn(batch, oh, ow, 2) * 4).astype(np.float16)
-        mask = np.full((batch, 1, 1, 1), 255, np.uint8)
-        batches.append((img1, img2, flow, mask))
+        flow = (rng.randn(batch, oh, ow, 2) * 4).astype(np.float32)
+        batches.append((img1, img2, flow))
 
     counter = {"i": 0}
+    aug_rng = np.random.RandomState(1)
 
     def source():
-        b = batches[counter["i"] % n_variants]
+        img1, img2, flow = batches[counter["i"] % n_variants]
         counter["i"] += 1
-        return b
+        i1, i2, fl, mk = batch_host_geometry(
+            aug_rng, img1.astype(np.float32), img2.astype(np.float32),
+            flow, None, geo_cfg)
+        return (np.clip(i1 + 0.5, 0, 255).astype(np.uint8),
+                np.clip(i2 + 0.5, 0, 255).astype(np.uint8),
+                fl.astype(np.float16),
+                np.clip(mk * 255 + 0.5, 0, 255).astype(np.uint8))
 
-    # HBM-cached input path (the production mode on slow host links;
-    # CLI --device_cache). Device-side augmentation re-randomizes every
-    # reuse; the echo factor is reported for transparency.
     prefetch = DeviceBatchCache(source, trainer.mesh, slots=8)
 
     # warmup / compile

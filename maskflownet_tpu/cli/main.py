@@ -59,6 +59,12 @@ def parse_args(argv=None):
                         "decouples training throughput from host->device "
                         "link bandwidth. 0 = classic double-buffered "
                         "prefetch")
+    p.add_argument("--aug", type=str, default="host",
+                   choices=["host", "device"],
+                   help="where geometric augmentation runs: 'host' (input-"
+                        "pipeline threads, the TPU-native default; color "
+                        "aug stays on device) or 'device' (inside the "
+                        "jitted step, the reference's placement)")
     return p.parse_args(argv)
 
 
@@ -79,6 +85,7 @@ def build_settings(args, config, dataset_cfg):
     mw = config.network.mw.get([0.005, 0.01, 0.02, 0.08, 0.32])
     if len(mw) != 5:
         mw = [0.005, 0.01, 0.02, 0.08, 0.32]
+    geo = presets.geometry_aug_config(dataset, target_shape, orig_shape)
     return TrainSettings(
         model=model_name,
         model_cfg=model_cfg,
@@ -88,9 +95,9 @@ def build_settings(args, config, dataset_cfg):
         compute_dtype=args.compute_dtype,
         target_shape=tuple(target_shape),
         orig_shape=tuple(orig_shape),
-        geo=presets.geometry_aug_config(dataset, target_shape, orig_shape),
+        geo=None if getattr(args, "aug", "host") == "host" else geo,
         color=presets.color_aug_config(dataset),
-    )
+    ), geo
 
 
 def load_training_data(args, dataset_cfg, batch_size):
@@ -257,7 +264,7 @@ def main(argv=None):
     dataset_name = dataset_cfg.dataset.value
     from maskflownet_tpu.config import presets
     batch_size = args.batch or presets.BATCH_SIZE[dataset_name]
-    settings = build_settings(args, config, dataset_cfg)
+    settings, geo_cfg = build_settings(args, config, dataset_cfg)
     n_dev = jax.device_count()
     if batch_size % n_dev != 0:
         raise SystemExit(
@@ -330,14 +337,37 @@ def main(argv=None):
             return (*batch, np.full((b, 1, 1, 1), 255, np.uint8))
         return tuple(batch)
 
+    if settings.geo is None:
+        # host-placed geometric augmentation (--aug host): runs on the
+        # prefetch thread, overlapped with device compute; ships target-
+        # shape uint8 crops (fewer wire bytes than orig-shape)
+        from maskflownet_tpu.augment.host_geometry import batch_host_geometry
+        aug_rng = np.random.RandomState(1000 + jax.process_index())
+
+        def _host_aug(batch):
+            img1, img2, flow, mask = _with_mask(batch)
+            mask = None if mask.shape[1] == 1 else \
+                mask.astype(np.float32) / 255.0
+            i1, i2, fl, mk = batch_host_geometry(
+                aug_rng, img1.astype(np.float32), img2.astype(np.float32),
+                flow.astype(np.float32), mask, geo_cfg)
+            return (np.clip(i1 + 0.5, 0, 255).astype(np.uint8),
+                    np.clip(i2 + 0.5, 0, 255).astype(np.uint8),
+                    fl.astype(np.float16),
+                    np.clip(mk * 255 + 0.5, 0, 255).astype(np.uint8))
+
+        transform = _host_aug
+    else:
+        transform = _with_mask
+
     if args.device_cache:
         from maskflownet_tpu.data import DeviceBatchCache
         prefetch = DeviceBatchCache(loader.get, mesh,
                                     slots=args.device_cache,
-                                    transform=_with_mask)
+                                    transform=transform)
     else:
         prefetch = DevicePrefetcher(loader.get, mesh, depth=2,
-                                    transform=_with_mask)
+                                    transform=transform)
 
     log = FileLog(os.path.join(
         root, "logs", "debug" if args.debug else "", f"{run_id}.log"))

@@ -28,7 +28,7 @@ def load_trainer(config_name: str, checkpoint: str, compute_dtype="bfloat16"):
     args.compute_dtype = compute_dtype
     config = load_config(config_name)
     dataset_cfg = load_config("sintel.yaml")
-    settings = build_settings(args, config, dataset_cfg)
+    settings, _ = build_settings(args, config, dataset_cfg)
     trainer = Trainer(settings, init_shape=(64, 64))
     trainer.load(checkpoint, load_states=False)
     return trainer

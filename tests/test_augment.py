@@ -136,3 +136,59 @@ def test_color_augmentation_gamma_and_eigen():
     a1, a2 = color_augmentation(jax.random.PRNGKey(5), img, img, cfg)
     assert np.isfinite(np.asarray(a1)).all()
     assert (np.asarray(a1) >= 0).all()
+
+
+def test_host_geometry_consistency_property():
+    """Host (numpy/cv2) geometry aug satisfies the same defining property:
+    warp(img2_aug, flow_aug) ~= img1_aug on valid pixels."""
+    from maskflownet_tpu.augment.host_geometry import batch_host_geometry
+
+    rng = np.random.RandomState(7)
+    oh, ow = 96, 128
+    th, tw = 64, 96
+    imgs1, imgs2, flows = zip(*[_make_affine_pair(rng, oh, ow) for _ in range(4)])
+    img1 = np.stack(imgs1)
+    img2 = np.stack(imgs2)
+    flow = np.stack(flows)
+
+    cfg = GeometryAugConfig(target_shape=(th, tw), orig_shape=(oh, ow))
+    i1a, i2a, fa, ma = batch_host_geometry(
+        np.random.RandomState(3), img1, img2, flow, None, cfg)
+    assert i1a.shape == (4, th, tw, 3) and fa.shape == (4, th, tw, 2)
+
+    rewarped = np.asarray(backwarp(jnp.asarray(i2a), jnp.asarray(fa)))
+    py, px = np.mgrid[0:th, 0:tw]
+    ty = py[None] + fa[..., 0]
+    tx = px[None] + fa[..., 1]
+    inb = (ty >= 1) & (ty <= th - 2) & (tx >= 1) & (tx <= tw - 2)
+    valid = (ma[..., 0] > 0.999) & inb
+    valid[:, :2] = valid[:, -2:] = valid[:, :, :2] = valid[:, :, -2:] = False
+    assert valid.mean() > 0.4
+    err = np.abs(rewarped - i1a)[valid]
+    assert err.mean() < 0.02, err.mean()
+    assert np.quantile(err, 0.95) < 0.06
+
+
+def test_host_geometry_matches_device_distributions():
+    """Summary statistics of host and device aug agree over many draws
+    (same config, independent RNG streams): mean/std of the augmented flow
+    and the fraction of valid mask."""
+    from maskflownet_tpu.augment.host_geometry import batch_host_geometry
+
+    rng = np.random.RandomState(0)
+    oh, ow, th, tw = 64, 96, 48, 64
+    b = 16
+    img = rng.rand(b, oh, ow, 3).astype(np.float32)
+    flow = np.tile(np.asarray([1.5, -2.0], np.float32), (b, oh, ow, 1))
+    cfg = GeometryAugConfig(target_shape=(th, tw), orig_shape=(oh, ow))
+
+    _, _, fa_h, ma_h = batch_host_geometry(
+        np.random.RandomState(5), img, img, flow, None, cfg)
+    _, _, fa_d, ma_d = geometry_augmentation(
+        jax.random.PRNGKey(5), jnp.asarray(img), jnp.asarray(img),
+        jnp.asarray(flow), jnp.ones((b, oh, ow, 1)), cfg)
+    fa_d, ma_d = np.asarray(fa_d), np.asarray(ma_d)
+    # same transform family => comparable flow magnitude statistics
+    assert abs(np.mean(np.abs(fa_h)) - np.mean(np.abs(fa_d))) < 0.6, (
+        np.mean(np.abs(fa_h)), np.mean(np.abs(fa_d)))
+    assert abs(ma_h.mean() - ma_d.mean()) < 0.05
