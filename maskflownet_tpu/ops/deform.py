@@ -27,9 +27,48 @@ import jax
 import jax.numpy as jnp
 
 from maskflownet_tpu import nn
-from maskflownet_tpu.ops.warp import _gather_nhwc
+from maskflownet_tpu.ops.warp import _gather_nhwc, unfold_patches
 
 Array = jax.Array
+
+
+def _unfold_deform(x: Array, flow: Array, weight: Array,
+                   bias: Array | None) -> Array:
+    """One wide patch-gather per pixel (see ``ops.warp.unfold_patches``).
+
+    All 9 taps share one fractional offset, so their 36 bilinear corners
+    collapse onto the 4x4 integer window at ``floor(p + flow) - 1``: a single
+    unfolded 16C-slice gather, a separable 4x3 + 3x3 lerp cascade to the 9
+    taps, then one MXU matmul over 9*Cin. Fastest path on this TPU backend
+    (descriptor-bound gathers; benchmarks/deform_ab.py).
+    """
+    n, h, w, cin = x.shape
+    dtype = x.dtype
+    gy = jax.lax.broadcasted_iota(jnp.float32, (n, h, w), 1)
+    gx = jax.lax.broadcasted_iota(jnp.float32, (n, h, w), 2)
+    sy = gy + flow[..., 0].astype(jnp.float32)
+    sx = gx + flow[..., 1].astype(jnp.float32)
+    y0 = jnp.floor(sy)
+    x0 = jnp.floor(sx)
+    fy = (sy - y0)[..., None].astype(dtype)
+    fx = (sx - x0)[..., None].astype(dtype)
+    p = unfold_patches(x, y0.astype(jnp.int32) - 1,
+                       x0.astype(jnp.int32) - 1, 4)    # (N,H,W,4,4,C)
+    # separable bilinear to the 3x3 rigidly-shifted taps
+    colq = [[p[..., u, b, :] * (1 - fx) + p[..., u, b + 1, :] * fx
+             for b in range(3)] for u in range(4)]
+    taps = [(1 - fy) * colq[a][b] + fy * colq[a + 1][b]
+            for a in range(3) for b in range(3)]       # (ky, kx) major
+    stacked = jnp.concatenate(taps, axis=-1)           # (N,H,W,9*Cin)
+    wmat = weight.astype(dtype).reshape(9 * cin, -1)
+    out = jax.lax.dot_general(
+        stacked.reshape(-1, 9 * cin), wmat,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=dtype,
+    ).reshape(n, h, w, -1)
+    if bias is not None:
+        out = out + bias
+    return out
 
 
 def _onehot_deform(x: Array, flow: Array, weight: Array,
@@ -111,7 +150,20 @@ def flow_guided_deform_conv3x3(x: Array, flow: Array, weight: Array,
     (MXU matmul formulation; best on TPU), or 'auto'.
     """
     if method == "auto":
-        method = "gather"  # see ops/warp.py note; pallas path supersedes
+        import os
+        # Measured on the chip (benchmarks/deform_ab.py): 'unfold' (one wide
+        # patch gather per pixel) beats 'gather' (16 corner gathers) ~5x at
+        # the dominant level-2 shape, and both beat 'onehot' / the fused
+        # Pallas one-hot kernel (MXU time wasted on the dense H+2
+        # interpolation matrix). MFN_DEFORM overrides for A/B experiments.
+        default = "unfold" if jax.default_backend() == "tpu" else "gather"
+        method = os.environ.get("MFN_DEFORM", default)
+    if method == "unfold":
+        return _unfold_deform(x, flow, weight, bias)
+    if method == "pallas":
+        from maskflownet_tpu.ops.pallas.deform import deform_conv3x3_pallas
+        out = deform_conv3x3_pallas(x, flow, weight)
+        return out + bias if bias is not None else out
     if method == "onehot":
         return _onehot_deform(x, flow, weight, bias)
     n, h, w, cin = x.shape

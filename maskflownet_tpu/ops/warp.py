@@ -35,6 +35,53 @@ def _gather_nhwc(img: Array, iy: Array, ix: Array) -> Array:
     ).reshape(idx.shape + (c,))
 
 
+def unfold_patches(img: Array, y0: Array, x0: Array, win: int) -> Array:
+    """Gather ``win x win`` pixel patches with top-left corners (y0, x0).
+
+    TPU-native gather formulation: this backend's gather throughput is
+    descriptor-bound (measured ~5x faster pulling one 16C-wide slice than
+    sixteen C-wide ones at level-2 shapes, benchmarks/deform_ab.py), so the
+    image is first *unfolded* -- every padded pixel's row holds its whole
+    (win, win, C) neighborhood -- and each output pixel issues ONE
+    ``take_along_axis`` row gather. The unfold is pure shifted-copy streaming
+    (~free), and its autodiff transpose is shifted adds (no extra scatter).
+
+    Zero out-of-bounds semantics come out exactly without masks: the image is
+    zero-padded by ``win`` on each side and patch corners clipped to the
+    padded interior, so any fully- or partially-out-of-bounds window reads
+    zeros for its out-of-bounds pixels.
+
+    img: (N,H,W,C); y0/x0: (N,Ho,Wo) int32 window origins (may be far out of
+    bounds). -> (N, Ho, Wo, win, win, C).
+    """
+    n, h, w, c = img.shape
+    pad = win
+    hp, wp = h + 2 * pad, w + 2 * pad
+    nrow, ncol = hp - win + 1, wp - win + 1
+    xp = jnp.pad(img, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    cols = jnp.stack([xp[:, :, v:v + ncol, :] for v in range(win)], axis=3)
+    xu = jnp.stack([cols[:, u:u + nrow] for u in range(win)], axis=3)
+    xu = xu.reshape(n, nrow * ncol, win * win * c)
+    yy = jnp.clip(y0 + pad, 0, nrow - 1)
+    xx = jnp.clip(x0 + pad, 0, ncol - 1)
+    idx = (yy * ncol + xx).reshape(n, -1, 1)
+    patch = jnp.take_along_axis(xu, idx, axis=1)
+    return patch.reshape(y0.shape + (win, win, c))
+
+
+def _unfold_sample(img: Array, sy: Array, sx: Array) -> Array:
+    """Bilinear sampling via one unfolded 2x2-patch gather per pixel."""
+    dtype = img.dtype
+    y0 = jnp.floor(sy)
+    x0 = jnp.floor(sx)
+    fy = (sy - y0)[..., None].astype(dtype)
+    fx = (sx - x0)[..., None].astype(dtype)
+    p = unfold_patches(img, y0.astype(jnp.int32), x0.astype(jnp.int32), 2)
+    top = p[..., 0, 0, :] * (1 - fx) + p[..., 0, 1, :] * fx
+    bot = p[..., 1, 0, :] * (1 - fx) + p[..., 1, 1, :] * fx
+    return top * (1 - fy) + bot * fy
+
+
 def _onehot_sample(img: Array, sy: Array, sx: Array,
                    row_tile: int = 16) -> Array:
     """Bilinear sample via two one-hot contractions on the MXU.
@@ -91,10 +138,22 @@ def backwarp_coords(img: Array, sy: Array, sx: Array, *, clamp: bool = False,
     (MXU matmul formulation; best on TPU), or 'auto'.
     """
     if method == "auto":
-        # measured (benchmarks/op_loop_bwd.py): gather wins fwd+bwd on this
-        # TPU backend (onehot pays scan-residual HBM traffic in backward);
-        # the Pallas kernels supersede both where available
-        method = "gather"
+        import os
+        # Measured (benchmarks/deform_ab.py): on TPU, gather cost is
+        # descriptor-bound, so 'unfold' (one wide patch gather per pixel)
+        # beats 'gather' (4 corner gathers); off-TPU 'gather' wins. 'onehot'
+        # (MXU matmuls) loses to both here (scan-residual HBM traffic).
+        # MFN_WARP overrides for A/B experiments.
+        default = "unfold" if jax.default_backend() == "tpu" else "gather"
+        method = os.environ.get("MFN_WARP", default)
+    if method == "unfold":
+        sy = sy.astype(jnp.float32)
+        sx = sx.astype(jnp.float32)
+        if clamp:
+            h, w = img.shape[1], img.shape[2]
+            sy = jnp.clip(sy, 0.0, h - 1.0)
+            sx = jnp.clip(sx, 0.0, w - 1.0)
+        return _unfold_sample(img, sy, sx)
     if method == "onehot":
         sy = sy.astype(jnp.float32)
         sx = sx.astype(jnp.float32)

@@ -318,3 +318,69 @@ class TestOnehotFormulations:
         b = flow_guided_deform_conv3x3(x, flow, wgt, None, method="onehot")
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
+
+
+class TestUnfoldFormulations:
+    """The wide-patch-gather ('unfold') formulations must match the gather
+    reference exactly (f32), including zero-pad boundary semantics, far
+    out-of-bounds windows, and gradients."""
+
+    @pytest.mark.parametrize("clamp", [False, True])
+    def test_backwarp_unfold_matches_gather(self, clamp):
+        from maskflownet_tpu.ops.warp import backwarp_coords
+        r = np.random.RandomState(0)
+        img = jnp.asarray(r.rand(2, 9, 13, 5).astype(np.float32))
+        sy = jnp.asarray((r.rand(2, 7, 11) * 17 - 4).astype(np.float32))
+        sx = jnp.asarray((r.rand(2, 7, 11) * 21 - 4).astype(np.float32))
+        a = backwarp_coords(img, sy, sx, clamp=clamp, method="gather")
+        b = backwarp_coords(img, sy, sx, clamp=clamp, method="unfold")
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_backwarp_unfold_grads_match(self):
+        from maskflownet_tpu.ops.warp import backwarp_coords
+        r = np.random.RandomState(1)
+        img = jnp.asarray(r.rand(1, 8, 10, 3).astype(np.float32))
+        sy = jnp.floor(jnp.asarray((r.rand(1, 8, 10) * 14 - 3))) + 0.3
+        sx = jnp.floor(jnp.asarray((r.rand(1, 8, 10) * 16 - 3))) + 0.6
+
+        def grads(m):
+            def f(i, y, x):
+                return jnp.sum(backwarp_coords(
+                    i, y.astype(jnp.float32), x.astype(jnp.float32),
+                    method=m) ** 2)
+            return jax.grad(f, argnums=(0, 1, 2))(img, sy, sx)
+
+        for a, b in zip(grads("gather"), grads("unfold")):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4)
+
+    def test_deform_conv_unfold_matches_gather(self):
+        from maskflownet_tpu.ops.deform import flow_guided_deform_conv3x3
+        r = np.random.RandomState(2)
+        x = jnp.asarray(r.rand(2, 10, 12, 6).astype(np.float32))
+        flow = jnp.asarray((r.rand(2, 10, 12, 2) * 30 - 15).astype(np.float32))
+        wgt = jnp.asarray(r.randn(3, 3, 6, 4).astype(np.float32) * 0.2)
+        bias = jnp.asarray(r.randn(4).astype(np.float32))
+        a = flow_guided_deform_conv3x3(x, flow, wgt, bias, method="gather")
+        b = flow_guided_deform_conv3x3(x, flow, wgt, bias, method="unfold")
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_deform_conv_unfold_grads_match(self):
+        from maskflownet_tpu.ops.deform import flow_guided_deform_conv3x3
+        r = np.random.RandomState(7)
+        x = jnp.asarray(r.rand(1, 8, 10, 4).astype(np.float32))
+        flow = jnp.asarray(
+            (np.floor(r.rand(1, 8, 10, 2) * 10 - 5) + 0.4).astype(np.float32))
+        wgt = jnp.asarray(r.randn(3, 3, 4, 5).astype(np.float32) * 0.3)
+
+        def grads(m):
+            def f(xx, ff, ww):
+                return jnp.sum(flow_guided_deform_conv3x3(
+                    xx, ff, ww, None, method=m) ** 2)
+            return jax.grad(f, argnums=(0, 1, 2))(x, flow, wgt)
+
+        for a, b in zip(grads("gather"), grads("unfold")):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4)
