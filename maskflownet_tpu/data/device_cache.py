@@ -126,5 +126,10 @@ class DeviceBatchCache:
         """Mean reuses per transferred batch so far."""
         return self.serves / max(1, self.transfers)
 
-    def stop(self):
+    def stop(self, timeout: float = 30.0):
+        """Signal the refresh thread and wait for it to finish its in-flight
+        transfer. Joining matters: a daemon thread still inside
+        ``jax.device_put`` when the interpreter tears down the PJRT runtime
+        aborts the process from C++ (observed on the tunneled backend)."""
         self._stop = True
+        self._thread.join(timeout=timeout)

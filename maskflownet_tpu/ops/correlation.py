@@ -42,15 +42,18 @@ def correlation(f1: Array, f2: Array, md: int, *, use_pallas: bool | None = None
     """Cost volume with (2md+1)^2 output channels. See module docstring."""
     if use_pallas is None:
         import os
-        # Opt-in (MFN_PALLAS=1). The Pallas kernel is numerically validated
-        # on TPU hardware (fwd + custom-VJP backward), but on this PJRT
-        # backend XLA stages whole pallas_call operands/results in VMEM
-        # (16 MB scoped limit -> OOM at production batch sizes), and the
-        # measured XLA path is already at memory-bandwidth speed-of-light
-        # for this op (~30 MB of HBM traffic per call). Keep XLA by default;
-        # revisit when per-block output staging works on this backend.
+        # Shape-aware auto (measured, benchmarks/corr_ab.py): the fused
+        # kernel wins 2.2-2.6x at pyramid levels 3+ but loses at the level-2
+        # footprint -- and this PJRT backend stages whole pallas_call
+        # operands/results in scoped VMEM (16 MB limit), which OOMs there
+        # anyway. Gate on the staged-bytes estimate; MFN_PALLAS=0/1 forces.
+        n, h, w, c = f1.shape
+        dd = (2 * md + 1) ** 2
+        staged = 2 * n * (h * w * (dd + c) + (h + 2 * md) * (w + 2 * md) * c)
+        env = os.environ.get("MFN_PALLAS")
         use_pallas = (jax.default_backend() == "tpu"
-                      and bool(os.environ.get("MFN_PALLAS")))
+                      and staged <= 8 * 1024 * 1024
+                      if env is None else env not in ("", "0"))
     if use_pallas:
         try:
             from maskflownet_tpu.ops.pallas.correlation import correlation_pallas
