@@ -213,6 +213,47 @@ def run_validation(trainer, validation, batch_size, resize):
     return out
 
 
+# (arg, default) pairs eligible for restore-from-log on resume; the first
+# three define the model/data and conflict-abort when training.
+_RESTORABLE_ARGS = (("config", None), ("dataset_cfg", "chairs.yaml"),
+                    ("network", "MaskFlownet"), ("batch", None),
+                    ("aug", "host"), ("compute_dtype", "bfloat16"))
+
+
+def _restore_args_from_log(args, log_file: str, strict: bool = True) -> None:
+    """Recover experiment args recorded in the resumed run's log (the CLI
+    logs ``k=v!r`` pairs at start). Reference parity: ``main.py:104-109``."""
+    import ast
+
+    from maskflownet_tpu.training import read_log
+
+    _, exp_info = read_log(log_file)
+    if not exp_info:
+        return
+    old = exp_info[-1]
+    conflicts = []
+    for key, default in _RESTORABLE_ARGS:
+        if key not in old:
+            continue
+        try:
+            logged = ast.literal_eval(old[key])
+        except (ValueError, SyntaxError):
+            continue
+        current = getattr(args, key)
+        if current == logged:
+            continue
+        if current == default:
+            print(f"Restored {key}={logged!r} from {log_file}")
+            setattr(args, key, logged)
+        elif key in ("config", "dataset_cfg", "network"):
+            conflicts.append(f"{key}: log has {logged!r}, CLI has {current!r}")
+    if conflicts and strict:
+        raise SystemExit(
+            "Resume args conflict with the original run (pass --clear_steps "
+            "to start a new run from this checkpoint):\n  "
+            + "\n  ".join(conflicts))
+
+
 def main(argv=None):
     args = parse_args(argv)
     import jax
@@ -232,11 +273,6 @@ def main(argv=None):
         int(os.environ.get("MFN_NUM_PROCESSES", "1")),
         int(os.environ.get("MFN_PROCESS_ID", "0")))
 
-    config = load_config(args.config)
-    dataset_cfg = load_config(args.dataset_cfg)
-    validation_steps = dataset_cfg.validation_steps.get(2500)
-    checkpoint_steps = dataset_cfg.checkpoint_steps.get(5000)
-
     root = args.root
     for d in ("logs", os.path.join("logs", "val"), os.path.join("logs", "debug"),
               "weights", "flows"):
@@ -247,7 +283,7 @@ def main(argv=None):
     checkpoint = None
     if args.checkpoint is not None:
         prefix, _, want = args.checkpoint.partition(":")
-        _, run_id = find_log(root, prefix)
+        log_file, run_id = find_log(root, prefix)
         cks = find_checkpoints(root, run_id)
         if want:
             match = [c for c in cks if c[1] == int(want)]
@@ -258,8 +294,20 @@ def main(argv=None):
             checkpoint, steps = cks[-1]
         if args.clear_steps:
             steps = 0
+        else:
+            # restore experiment args from the old run's log (reference
+            # main.py:104-109 + path.py:33-53): args the user left at their
+            # defaults are adopted from the log; an explicit conflict on a
+            # model/data-defining arg aborts instead of silently diverging.
+            _restore_args_from_log(args, log_file,
+                                   strict=not (args.valid or args.predict))
     if args.checkpoint is None or args.clear_steps:
         _, run_id = generate_run_id(str(jax.device_count()))
+
+    config = load_config(args.config)
+    dataset_cfg = load_config(args.dataset_cfg)
+    validation_steps = dataset_cfg.validation_steps.get(2500)
+    checkpoint_steps = dataset_cfg.checkpoint_steps.get(5000)
 
     dataset_name = dataset_cfg.dataset.value
     from maskflownet_tpu.config import presets
@@ -396,55 +444,64 @@ def main(argv=None):
     profile_range = (tuple(int(s) for s in args.profile.split(","))
                      if args.profile else None)
 
-    t1 = None
-    while True:
-        if profile_range and trainer.steps + 1 == profile_range[0]:
-            try:
-                jax.profiler.start_trace(os.path.join(root, "profile"))
-            except Exception as e:  # backend may not support tracing
-                log.log(f"profiler unavailable: {e}")
+    def _train_loop():
+        nonlocal profile_range
+        t1 = None
+        while True:
+            if profile_range and trainer.steps + 1 == profile_range[0]:
+                try:
+                    jax.profiler.start_trace(os.path.join(root, "profile"))
+                except Exception as e:  # backend may not support tracing
+                    log.log(f"profiler unavailable: {e}")
+                    profile_range = None
+            lr = lr_at_step(lr_schedule, trainer.steps + 1)
+            if lr is None:
+                log.log(f"schedule exhausted at step {trainer.steps}")
+                return 0
+            t0 = default_timer()
+            if t1:
+                total_time.update(t0 - t1)
+            t1 = t0
+            batch = prefetch.get()
+            loading_time.update(default_timer() - t0)
+            metrics = trainer.train_batch_device(batch, lr=lr)
+            steps = trainer.steps
+            if profile_range and steps == profile_range[1]:
+                from maskflownet_tpu.training import sync_metrics
+                sync_metrics(metrics)
+                try:
+                    jax.profiler.stop_trace()
+                    log.log(f"profiler trace written to {root}/profile")
+                except Exception:
+                    pass
                 profile_range = None
-        lr = lr_at_step(lr_schedule, trainer.steps + 1)
-        if lr is None:
-            log.log(f"schedule exhausted at step {trainer.steps}")
-            return 0
-        t0 = default_timer()
-        if t1:
-            total_time.update(t0 - t1)
-        t1 = t0
-        batch = prefetch.get()
-        loading_time.update(default_timer() - t0)
-        metrics = trainer.train_batch_device(batch, lr=lr)
-        steps = trainer.steps
-        if profile_range and steps == profile_range[1]:
-            from maskflownet_tpu.training import sync_metrics
-            sync_metrics(metrics)
-            try:
-                jax.profiler.stop_trace()
-                log.log(f"profiler trace written to {root}/profile")
-            except Exception:
-                pass
-            profile_range = None
-        if steps <= 20 or steps % 50 == 0:
-            from maskflownet_tpu.training import sync_metrics
-            train_avg.update(sync_metrics(metrics))
-            log.log("steps={}{}, loading_time={:.3f}, total_time={:.3f}".format(
-                steps, "".join(f", {k}={v}" for k, v in
-                               train_avg.average.items()),
-                loading_time.average, total_time.average))
-        if steps % validation_steps == 0 or steps <= 1:
-            if validation:
-                val = run_validation(trainer, validation, batch_size,
-                                     infer_resize)
-                log.log("steps={}{}".format(
-                    steps, "".join(f", {k}={v}" for k, v in val.items())))
-            if steps % checkpoint_steps == 0 and jax.process_index() == 0:
-                prefix = os.path.join(root, "weights", f"{run_id}_{steps}")
-                trainer.save(prefix)
-                checkpoints.append(prefix)
-                while len(checkpoints) > 3:
-                    old = checkpoints.pop(0)
-                    remove_queue.put(old + ".npz")
+            if steps <= 20 or steps % 50 == 0:
+                from maskflownet_tpu.training import sync_metrics
+                train_avg.update(sync_metrics(metrics))
+                log.log("steps={}{}, loading_time={:.3f}, total_time={:.3f}".format(
+                    steps, "".join(f", {k}={v}" for k, v in
+                                   train_avg.average.items()),
+                    loading_time.average, total_time.average))
+            if steps % validation_steps == 0 or steps <= 1:
+                if validation:
+                    val = run_validation(trainer, validation, batch_size,
+                                         infer_resize)
+                    log.log("steps={}{}".format(
+                        steps, "".join(f", {k}={v}" for k, v in val.items())))
+                if steps % checkpoint_steps == 0 and jax.process_index() == 0:
+                    prefix = os.path.join(root, "weights", f"{run_id}_{steps}")
+                    trainer.save(prefix)
+                    checkpoints.append(prefix)
+                    while len(checkpoints) > 3:
+                        old = checkpoints.pop(0)
+                        remove_queue.put(old + ".npz")
+
+    try:
+        return _train_loop()
+    finally:
+        # join the transfer thread before interpreter/PJRT teardown
+        # (a daemon thread inside device_put at exit aborts from C++)
+        prefetch.stop()
 
 
 if __name__ == "__main__":

@@ -4,9 +4,22 @@
 consecutive-frame entries ``[img1, img2, flow, invalid]``; training entries
 are additionally assigned to ``training1``/``training2`` by the split file
 (one 1/2 per training pair, in enumeration order -- reference
-``sintel.py:16,42-43``). ``load`` decodes by extension with an LRU cache:
-frames -> uint8 RGB; ``invalid/*.png`` -> inverted to a VALID mask
-(255 = valid, reference ``sintel.py:79-81``); ``.flo`` -> (dy, dx) float32.
+``sintel.py:16,42-43``).
+
+Enumeration-order note: the reference walks sequences in raw ``os.listdir``
+order while we sort; the official ``Sintel_train_val_maskflownet.txt`` was
+verified to be generated under lexicographic order -- its 1/2 runs
+(98,20,81,19,98,49,147,49,98,39,245,49,49) land exactly on sorted-order
+sequence-pair boundaries (ambush_2=20, ambush_6=19, market_6=39 are
+irregular), giving whole-sequence validation = {ambush_2, ambush_6,
+bamboo_2, cave_4, market_6, temple_2}. ``list_data`` guards this: every
+sequence must receive a constant split label, else the enumeration order
+does not match the split file and we raise rather than silently train on
+validation frames.
+
+``load`` decodes by extension with an LRU cache: frames -> uint8 RGB;
+``invalid/*.png`` -> inverted to a VALID mask (255 = valid, reference
+``sintel.py:79-81``); ``.flo`` -> (dy, dx) float32.
 """
 
 from __future__ import annotations
@@ -47,6 +60,7 @@ def list_data(root: str | None = None, split_file: str | None = None) -> dict:
                     int(pattern.match(s).group(1))
                     for s in os.listdir(os.path.join(subset_dir, seq))
                     if pattern.match(s))
+                seq_labels = set()
                 for i in frames[:-1]:
                     entry = [
                         os.path.join(subset_dir, seq, f"frame_{i:04d}.png"),
@@ -59,8 +73,23 @@ def list_data(root: str | None = None, split_file: str | None = None) -> dict:
                             root, part, "invalid", seq, f"frame_{i:04d}.png"))
                     dataset[part][subset].append(entry)
                     if part == "training" and split is not None:
+                        if c >= len(split):
+                            raise ValueError(
+                                f"Sintel split file has {len(split)} lines but "
+                                f"the tree enumerates more training pairs -- "
+                                f"split/tree mismatch at {seq}")
+                        seq_labels.add(int(split[c]))
                         dataset[part + str(split[c])][subset].append(entry)
                         c += 1
+                if part == "training" and split is not None and len(seq_labels) > 1:
+                    # the official split assigns whole sequences; a mixed
+                    # label means our (sorted) enumeration order disagrees
+                    # with the order the split file was generated under
+                    raise ValueError(
+                        f"Sintel sequence {seq!r} received mixed train/val "
+                        f"split labels {sorted(seq_labels)}: enumeration "
+                        f"order does not match the split file (see module "
+                        f"docstring)")
     return dataset
 
 

@@ -77,7 +77,14 @@ class DevicePrefetcher:
                 if jax.process_count() == 1 and mesh.devices.size == 1:
                     dev = tuple(jax.device_put(x, mesh.devices.flat[0])
                                 for x in dev)
-                self._q.put(dev)
+                # bounded put so stop() can interrupt a producer blocked on
+                # a full queue
+                while not self._stop:
+                    try:
+                        self._q.put(dev, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
 
         self._thread = threading.Thread(target=worker, daemon=True)
         self._thread.start()
@@ -85,8 +92,20 @@ class DevicePrefetcher:
     def get(self):
         return self._q.get()
 
-    def stop(self):
+    def stop(self, timeout: float = 30.0):
+        """Signal the worker and join it. Joining matters: a daemon thread
+        still inside ``jax.device_put`` when the interpreter tears down the
+        PJRT runtime aborts the process from C++ (same failure mode fixed in
+        ``DeviceBatchCache.stop``)."""
+        import queue
+
         self._stop = True
+        try:  # unblock a worker waiting on a full queue
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+        self._thread.join(timeout=timeout)
 
 
 def shard_batch(mesh: Mesh, batch):

@@ -165,7 +165,10 @@ def sintel_tree(tmp_path):
     (root / "test" / "clean").mkdir(parents=True)
     (root / "test" / "final").mkdir(parents=True)
     split = root / "split.txt"
-    np.savetxt(str(split), np.array([1, 2, 1, 2] * 2), fmt="%d")
+    # whole-sequence labels (alley_1 -> train1, ambush_2 -> train2), matching
+    # the official split file's structure; mixed per-sequence labels are a
+    # split/enumeration-order mismatch that list_data rejects
+    np.savetxt(str(split), np.array([1, 1, 2, 2] * 2), fmt="%d")
     return str(root), str(split)
 
 
@@ -174,6 +177,9 @@ def test_sintel_reader(sintel_tree):
     ds = sintel.list_data(root, split)
     assert len(ds["training"]["clean"]) == 4  # 2 seqs x 2 pairs
     assert len(ds["training1"]["clean"]) + len(ds["training2"]["clean"]) == 4
+    assert len(ds["training1"]["clean"]) == 2  # alley_1 whole-sequence
+    assert all("alley_1" in e[0] for e in ds["training1"]["clean"])
+    assert all("ambush_2" in e[0] for e in ds["training2"]["clean"])
     img1, img2, flow, inv = ds["training"]["clean"][0]
     a = sintel.load.__wrapped__(img1)
     assert a.shape == (32, 48, 3) and a.dtype == np.uint8
@@ -181,6 +187,20 @@ def test_sintel_reader(sintel_tree):
     assert f.shape == (32, 48, 2)
     m = sintel.load.__wrapped__(inv)
     assert m.shape == (32, 48, 1) and set(np.unique(m)) <= {0, 255}
+
+
+def test_sintel_split_order_guard(sintel_tree, tmp_path):
+    """A split file whose labels mix within a sequence (enumeration-order
+    mismatch) must raise, not silently contaminate train with val frames."""
+    root, _ = sintel_tree
+    bad = tmp_path / "bad_split.txt"
+    np.savetxt(str(bad), np.array([1, 2, 1, 2] * 2), fmt="%d")
+    with pytest.raises(ValueError, match="mixed"):
+        sintel.list_data(root, str(bad))
+    short = tmp_path / "short_split.txt"
+    np.savetxt(str(short), np.array([1, 1]), fmt="%d")
+    with pytest.raises(ValueError, match="split"):
+        sintel.list_data(root, str(short))
 
 
 @pytest.fixture

@@ -14,6 +14,7 @@ from maskflownet_tpu.parallel.spatial import (make_spatial_forward,
 
 
 @pytest.mark.parametrize("mesh_shape", [(1, 4), (2, 2)])
+@pytest.mark.slow
 def test_spatial_sharded_forward_matches_unsharded(mesh_shape):
     assert jax.device_count() == 8
     cfg = ModelConfig()

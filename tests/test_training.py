@@ -114,6 +114,7 @@ def trainer():
     return Trainer(_settings(), mesh=make_mesh())
 
 
+@pytest.mark.slow
 def test_train_loss_decreases_on_mesh():
     """Deterministic descent on a fixed batch (augmentation disabled so the
     target is constant across steps)."""
@@ -133,6 +134,7 @@ def test_train_loss_decreases_on_mesh():
     assert np.mean(losses[-3:]) < np.mean(losses[:2]), losses
 
 
+@pytest.mark.slow
 def test_validate_and_predict(trainer):
     rng = np.random.RandomState(3)
     img1s = [rng.randint(0, 255, (70, 90, 3), dtype=np.uint8) for _ in range(3)]
@@ -151,6 +153,7 @@ def test_validate_and_predict(trainer):
     assert warped.shape == (70, 90, 3)
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path, trainer):
     prefix = str(tmp_path / "ck")
     step_before = trainer.steps
@@ -167,6 +170,7 @@ def test_checkpoint_roundtrip(tmp_path, trainer):
                                   np.asarray(mu_b["conv1a/w"]))
 
 
+@pytest.mark.slow
 def test_cascade_frozen_head_training():
     """fix_head: head params must not move; stage-2 params must move."""
     s = _settings(model="MaskFlownet", fix_head=True, q=0.4)
@@ -183,6 +187,7 @@ def test_cascade_frozen_head_training():
     assert np.abs(np.asarray(tr.params[tail_key]) - tail_before).max() > 0
 
 
+@pytest.mark.slow
 def test_load_head_bootstraps_cascade(tmp_path):
     """Standalone S checkpoint -> cascade head scope (reference
     main.py:129-139 flow)."""
@@ -197,6 +202,7 @@ def test_load_head_bootstraps_cascade(tmp_path):
         np.asarray(ts.params["conv1a/w"]))
 
 
+@pytest.mark.slow
 def test_train_batch_with_mask(trainer):
     img1, img2, flow = _batch(seed=5)
     mask = np.full((8, OH, OW, 1), 255, np.uint8)
