@@ -3,12 +3,14 @@
 
 Usage:
   python -m maskflownet_tpu.tools.infer CONFIG -c CHECKPOINT \
-      [-i img1 img2] [--video in.mp4 out.mp4] [-o out_dir] [--resize H,W]
+      [-i img1 img2] [--frames dir] [--video in.mp4 out.mp4] \
+      [-o out_dir] [--resize H,W]
 
-Video IO uses PIL-readable frame directories or (if available) imageio; the
-environment here has neither ffmpeg bindings nor moviepy, so ``--frames``
-mode (directory of frames in, directory of flow visualizations out) is the
-portable path.
+``--video`` is the reference's video mode (``predict_new_data.py:100-162``):
+read a video, estimate consecutive-frame flow, write a flow-visualization
+video at the source fps. Video IO uses OpenCV when importable (no moviepy
+in this environment); ``--frames`` (directory of ordered frames in,
+directory of flow visualizations out) is the dependency-free fallback.
 """
 
 from __future__ import annotations
@@ -51,6 +53,55 @@ def predict_frame_sequence(trainer, frames: list[np.ndarray], resize=None,
         img1, img2, batch_size=batch_size, resize=resize)]
 
 
+def read_video(path: str) -> tuple[list[np.ndarray], float]:
+    """Decode a video into RGB uint8 frames + fps (cv2 backend, mirroring
+    ``predict_new_data.py:101-116``)."""
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        raise IOError(f"cannot open video {path}")
+    fps = cap.get(cv2.CAP_PROP_FPS) or 25.0
+    frames = []
+    while True:
+        has, frame = cap.read()
+        if not has:
+            break
+        frames.append(frame[..., ::-1].copy())  # BGR -> RGB
+    cap.release()
+    if len(frames) < 2:
+        raise ValueError(f"{path}: need >=2 frames, got {len(frames)}")
+    return frames, fps
+
+
+def write_video(path: str, frames_rgb: list[np.ndarray], fps: float) -> None:
+    """Encode RGB uint8 frames (``create_video_clip_from_frames`` +
+    ``write_videofile`` equivalent, ``predict_new_data.py:94-97,160``)."""
+    import cv2
+
+    h, w = frames_rgb[0].shape[:2]
+    fourcc = cv2.VideoWriter_fourcc(
+        *("mp4v" if path.lower().endswith(".mp4") else "MJPG"))
+    out = cv2.VideoWriter(path, fourcc, fps, (w, h))
+    if not out.isOpened():
+        raise IOError(f"cannot open video writer for {path}")
+    for fr in frames_rgb:
+        out.write(np.ascontiguousarray(fr[..., ::-1]))  # RGB -> BGR
+    out.release()
+
+
+def predict_video_flow(trainer, video_in: str, video_out: str, resize=None,
+                       batch_size: int = 4) -> int:
+    """Video -> flow-visualization video; returns the number of flow frames."""
+    from maskflownet_tpu.tools.flow_vis import flow_to_color
+
+    frames, fps = read_video(video_in)
+    flows = predict_frame_sequence(trainer, frames, resize=resize,
+                                   batch_size=batch_size)
+    write_video(video_out, [flow_to_color(f) for f in flows], fps)
+    return len(flows)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("config", type=str)
@@ -58,6 +109,10 @@ def main(argv=None):
     p.add_argument("-i", "--images", type=str, nargs=2, default=None)
     p.add_argument("--frames", type=str, default=None,
                    help="directory of ordered frames")
+    p.add_argument("--video", type=str, nargs=2, default=None,
+                   metavar=("IN", "OUT"),
+                   help="video in -> flow-visualization video out")
+    p.add_argument("--batch", type=int, default=4)
     p.add_argument("-o", "--output", type=str, default="./flow_out")
     p.add_argument("--resize", type=str, default="")
     args = p.parse_args(argv)
@@ -90,8 +145,12 @@ def main(argv=None):
             Image.fromarray(flow_to_color(flow)).save(
                 os.path.join(args.output, os.path.splitext(name)[0] + "_flow.png"))
         print(f"wrote {len(flows)} flow visualizations to {args.output}")
+    elif args.video:
+        n = predict_video_flow(trainer, args.video[0], args.video[1],
+                               resize=resize, batch_size=args.batch)
+        print(f"wrote {n} flow frames to {args.video[1]}")
     else:
-        p.error("need -i or --frames")
+        p.error("need -i, --frames or --video")
     return 0
 
 

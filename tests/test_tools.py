@@ -109,6 +109,37 @@ def test_infer_cli_end_to_end(tmp_path, trainer):
     assert os.path.exists(os.path.join(out, "warped.png"))
 
 
+def test_infer_video_mode(tmp_path, trainer):
+    """Video in -> flow-visualization video out (reference
+    ``predict_new_data.py:100-162`` parity), via synthetic cv2 frames."""
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.RandomState(4)
+    vin = str(tmp_path / "in.mp4")
+    w = cv2.VideoWriter(vin, cv2.VideoWriter_fourcc(*"mp4v"), 12.0, (64, 48))
+    assert w.isOpened()
+    for _ in range(5):
+        w.write(rng.randint(0, 255, (48, 64, 3), dtype=np.uint8))
+    w.release()
+
+    from maskflownet_tpu.tools.infer import (predict_video_flow, read_video,
+                                             write_video)
+    frames, fps = read_video(vin)
+    assert len(frames) == 5 and abs(fps - 12.0) < 0.5
+    assert frames[0].shape == (48, 64, 3)
+
+    vout = str(tmp_path / "out.mp4")
+    n = predict_video_flow(trainer, vin, vout, resize=(64, 128), batch_size=2)
+    assert n == 4
+    back, fps2 = read_video(vout)
+    assert len(back) == 4 and abs(fps2 - 12.0) < 0.5
+    assert back[0].shape == (48, 64, 3)
+
+    # round-trip of the writer alone (lossy codec: just shape/count)
+    write_video(str(tmp_path / "rt.avi"), frames, fps)
+    rt, _ = read_video(str(tmp_path / "rt.avi"))
+    assert len(rt) == 5
+
+
 def test_flow_vis_properties():
     from maskflownet_tpu.tools.flow_vis import flow_to_color
     flow = np.zeros((10, 10, 2), np.float32)
