@@ -1,8 +1,19 @@
+"""A/B: correlation formulations per pyramid level on the real chip.
+
+Shapes are the chairs-stage (320x448 target) pyramid footprints; level 2
+(80x112) is the dominant one. 'cmajor' is the channel-major Pallas family
+(W on lanes, sublane channel reduction)."""
+
 import os, sys, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax, jax.numpy as jnp, numpy as np
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache_tpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 from maskflownet_tpu.ops.correlation import correlation_xla
-from maskflownet_tpu.ops.pallas.correlation import correlation_pallas
+from maskflownet_tpu.ops.pallas.correlation import (correlation_pallas,
+                                                    correlation_pallas_cmajor)
 
 K = 50
 def time_loop(body, init, iters=3):
@@ -14,24 +25,40 @@ def time_loop(body, init, iters=3):
         best = min(best, time.perf_counter() - t0)
     return best / K * 1e3
 
+VARIANTS = {
+    "xla": correlation_xla,
+    "pallas": correlation_pallas,
+    "cmajor": correlation_pallas_cmajor,
+}
+
 key = jax.random.PRNGKey(0)
-for (h, w, c, md) in [(80, 112, 32, 4), (40, 56, 64, 4), (20, 28, 96, 4), (80, 112, 36, 2)]:
+SHAPES = [
+    ("L2 md4", 80, 112, 32, 4),
+    ("L3 md4", 40, 56, 64, 4),
+    ("L4 md4", 20, 28, 96, 4),
+    ("L5 md4", 10, 14, 128, 4),
+    ("L6 md4", 5, 7, 196, 4),
+    ("L2 md2", 80, 112, 32, 2),
+    ("L3 md2", 40, 56, 64, 2),
+]
+for (tag, h, w, c, md) in SHAPES:
     f1 = jax.random.uniform(key, (8, h, w, c), jnp.bfloat16)
     f2 = jax.random.uniform(jax.random.PRNGKey(1), (8, h, w, c), jnp.bfloat16)
+    ref = np.asarray(jax.jit(lambda a, b: correlation_xla(a, b, md))(f1, f2),
+                     np.float32)
     def chain(out, f):
         return f + (jnp.sum(out.astype(jnp.float32)) * 1e-12).astype(f.dtype)
-    try:
-        # correctness
-        a = np.asarray(jax.jit(lambda a, b: correlation_xla(a, b, md))(f1, f2), np.float32)
-        b = np.asarray(jax.jit(lambda a, b: correlation_pallas(a, b, md))(f1, f2), np.float32)
-        err = np.max(np.abs(a - b))
-        t_x = time_loop(lambda f: chain(correlation_xla(f1, f, md), f), f2)
-        t_p = time_loop(lambda f: chain(correlation_pallas(f1, f, md), f), f2)
-        # fwd+bwd
-        gx = lambda f: jax.grad(lambda ff: jnp.sum(correlation_xla(f1, ff, md).astype(jnp.float32)**2))(f)
-        gp = lambda f: jax.grad(lambda ff: jnp.sum(correlation_pallas(f1, ff, md).astype(jnp.float32)**2))(f)
-        t_xb = time_loop(lambda f: 0.9 * f + 0.1 * gx(f), f2)
-        t_pb = time_loop(lambda f: 0.9 * f + 0.1 * gp(f), f2)
-        print(f"({h},{w},{c},md{md}): xla {t_x:6.3f} pallas {t_p:6.3f} | f+b xla {t_xb:6.3f} pallas {t_pb:6.3f} ms  maxerr {err:.2e}")
-    except Exception as e:
-        print(f"({h},{w},{c},md{md}): FAILED {type(e).__name__}: {str(e)[:200]}")
+    row = [f"{tag} ({h}x{w}x{c})"]
+    for name, fn in VARIANTS.items():
+        try:
+            got = np.asarray(jax.jit(lambda a, b: fn(a, b, md))(f1, f2),
+                             np.float32)
+            err = np.max(np.abs(got - ref))
+            t_f = time_loop(lambda f: chain(fn(f1, f, md), f), f2)
+            gfn = lambda f: jax.grad(lambda ff: jnp.sum(
+                fn(f1, ff, md).astype(jnp.float32) ** 2))(f)
+            t_fb = time_loop(lambda f: 0.9 * f + 0.1 * gfn(f), f2)
+            row.append(f"{name} {t_f:7.3f}/{t_fb:7.3f}ms e{err:.0e}")
+        except Exception as e:
+            row.append(f"{name} FAILED({type(e).__name__})")
+    print(" | ".join(row), flush=True)

@@ -1,0 +1,113 @@
+"""Synthetic learnable-flow curriculum: textured image pairs with exact
+ground-truth flow.
+
+Purpose: convergence evidence. Real datasets (FlyingChairs/Sintel/...) are
+not mountable in the build environment, so the training-quality bridge to
+BASELINE.md is a generated dataset where the flow label is exact by
+construction and dense texture makes the correspondence learnable: a model
+that "matches the reference's capabilities" must drive EPE toward zero here
+(see tools/convergence.py and tests/test_convergence.py).
+
+Construction (per pair):
+  * a rich multi-scale texture ``base`` with margins,
+  * a random affine ``T`` (rotation/scale/aspect/translation about the
+    image center),
+  * ``img1`` = center crop of ``base``,
+  * ``img2(q) = base(T^-1(q))`` -- so ``img1(p) = img2(T(p))`` exactly
+    (up to bilinear resampling), matching the framework's label
+    convention ``img1(p) ~ img2(p + F(p))`` with ``F(p) = T(p) - p``
+    in (dy, dx) order,
+  * ``valid`` marks pixels whose correspondence lands inside img2.
+
+Flow magnitude is controlled by the affine ranges; defaults give |F| up to
+~0.08 * min(H, W) at the borders, comparable to FlyingChairs statistics.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def make_texture(rng: np.random.RandomState, h: int, w: int,
+                 octaves: int = 10) -> np.ndarray:
+    """(h, w, 3) float32 in [0, 1]: sinusoid mixture across octaves plus
+    broadband noise -- dense gradients everywhere, no flat regions."""
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    img = np.zeros((h, w, 3), np.float32)
+    for c in range(3):
+        acc = np.zeros((h, w), np.float32)
+        for o in range(octaves):
+            freq = 2.0 ** (o % 5) / 64.0
+            ky, kx = rng.uniform(-freq, freq, 2)
+            ph = rng.uniform(0, 2 * np.pi)
+            acc += rng.uniform(0.2, 1.0) / (1 + o % 5) * np.sin(
+                2 * np.pi * (ky * yy + kx * xx) + ph)
+        img[..., c] = acc
+    img += 0.15 * rng.randn(h, w, 1).astype(np.float32)
+    lo, hi = img.min(), img.max()
+    return (img - lo) / max(hi - lo, 1e-6)
+
+
+def _bilinear(base: np.ndarray, ys: np.ndarray, xs: np.ndarray) -> np.ndarray:
+    """Sample base (H, W, C) at float coords (ys, xs) (clipped to edges)."""
+    h, w = base.shape[:2]
+    ys = np.clip(ys, 0, h - 1.001)
+    xs = np.clip(xs, 0, w - 1.001)
+    y0 = np.floor(ys).astype(np.int32)
+    x0 = np.floor(xs).astype(np.int32)
+    ay = (ys - y0)[..., None]
+    ax = (xs - x0)[..., None]
+    return ((1 - ay) * (1 - ax) * base[y0, x0]
+            + (1 - ay) * ax * base[y0, x0 + 1]
+            + ay * (1 - ax) * base[y0 + 1, x0]
+            + ay * ax * base[y0 + 1, x0 + 1])
+
+
+def make_affine_pair(rng: np.random.RandomState, h: int, w: int, *,
+                     max_rot: float = 0.12, max_log_scale: float = 0.08,
+                     max_trans: float = 0.04):
+    """-> (img1, img2, flow, valid): float32 images [0,1], flow (dy, dx),
+    valid uint8 {0, 255}. ``max_trans`` is a fraction of min(h, w)."""
+    margin = int(0.3 * min(h, w))
+    base = make_texture(rng, h + 2 * margin, w + 2 * margin)
+
+    rot = rng.uniform(-max_rot, max_rot)
+    sy = np.exp(rng.uniform(-max_log_scale, max_log_scale))
+    sx = np.exp(rng.uniform(-max_log_scale, max_log_scale))
+    t = rng.uniform(-max_trans, max_trans, 2) * min(h, w)
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    # A maps img1-centered coords -> img2-centered coords (rows, cols)
+    A = np.array([[sy * np.cos(rot), -sy * np.sin(rot)],
+                  [sx * np.sin(rot), sx * np.cos(rot)]], np.float32)
+
+    py, px = np.mgrid[0:h, 0:w].astype(np.float32)
+    dy = py - cy
+    dx = px - cx
+    ty = A[0, 0] * dy + A[0, 1] * dx + cy + t[0]
+    tx = A[1, 0] * dy + A[1, 1] * dx + cx + t[1]
+    flow = np.stack([ty - py, tx - px], axis=-1).astype(np.float32)
+
+    img1 = base[margin:margin + h, margin:margin + w]
+    # img2(q) = base(T^-1(q) + margin)
+    Ainv = np.linalg.inv(A)
+    sy_ = Ainv[0, 0] * (py - cy - t[0]) + Ainv[0, 1] * (px - cx - t[1]) + cy
+    sx_ = Ainv[1, 0] * (py - cy - t[0]) + Ainv[1, 1] * (px - cx - t[1]) + cx
+    img2 = _bilinear(base, sy_ + margin, sx_ + margin).astype(np.float32)
+
+    valid = ((ty >= 0) & (ty <= h - 1) & (tx >= 0) & (tx <= w - 1))
+    valid = (valid * 255).astype(np.uint8)[..., None]
+    return img1.astype(np.float32), img2, flow, valid
+
+
+def make_dataset(rng: np.random.RandomState, n: int, h: int, w: int,
+                 **kwargs):
+    """n pairs as parallel lists (img1 u8, img2 u8, flow f32, valid u8) --
+    the ``data.loader.Dataset`` column format."""
+    img1s, img2s, flows, valids = [], [], [], []
+    for _ in range(n):
+        i1, i2, fl, va = make_affine_pair(rng, h, w, **kwargs)
+        img1s.append((i1 * 255 + 0.5).astype(np.uint8))
+        img2s.append((i2 * 255 + 0.5).astype(np.uint8))
+        flows.append(fl)
+        valids.append(va)
+    return img1s, img2s, flows, valids

@@ -40,6 +40,11 @@ class ModelConfig:
     deform_bias: bool = True
     upfeat_ch: tuple[int, ...] = (16, 16, 16, 16)
     strict_c2s_compat: bool = True
+    # replicate the reference's MXNet deform offset-layout quirk (taps 0-3
+    # sample at (dy,dy), center (dy,dx), taps 5-8 (dx,dx) -- see
+    # ops.deform._compat_offsets); required for bit-faithful forward parity
+    # with imported pretrained checkpoints, off for native training
+    strict_offset_compat: bool = False
     # multiscale loss weights live in the training config, not here
 
     @property
@@ -130,7 +135,8 @@ def maskflownet_s(ctx: nn.Ctx, im1: Array, im2: Array,
         mask = upsample(mask, 2)
         offsets = flow * (cfg.scale / stride)  # level-pixel units, f32
         warp = deform_conv(ctx, f"deform{lvl}", c2l, offsets, c2l.shape[-1],
-                           use_bias=cfg.deform_bias)
+                           use_bias=cfg.deform_bias,
+                           offset_compat=cfg.strict_offset_compat)
         gate = jax.nn.sigmoid(mask).astype(dtype)
         warp = warp * gate + nn.conv(ctx, f"conv{lvl}f", feat, c2l.shape[-1],
                                      act=False)
@@ -201,7 +207,7 @@ def maskflownet(ctx: nn.Ctx, im1: Array, im2: Array,
     flow = head_flows[0]
     warp6u = nn.leaky_relu(deform_conv(
         ctx, "deform6", c26, flow * (cfg.scale / STRIDES[0]), c26.shape[-1],
-        use_bias=cfg.deform_bias))
+        use_bias=cfg.deform_bias, offset_compat=cfg.strict_offset_compat))
     corr6u = nn.leaky_relu(correlation(c16, warp6u, md))
     corr6v = nn.leaky_relu(correlation(c3s[5], c4s[5], md))
     x = jnp.concatenate([corr6u, corr6v, flow.astype(dtype)], axis=-1)
@@ -218,7 +224,8 @@ def maskflownet(ctx: nn.Ctx, im1: Array, im2: Array,
         flow = upsample(flow, 2)
         warpu = nn.leaky_relu(deform_conv(
             ctx, f"deform{lvl}", c2l, flow * (cfg.scale / stride),
-            c2l.shape[-1], use_bias=cfg.deform_bias))
+            c2l.shape[-1], use_bias=cfg.deform_bias,
+            offset_compat=cfg.strict_offset_compat))
         corru = nn.leaky_relu(correlation(c1l, warpu, md))
         corrv = nn.leaky_relu(correlation(c3s[lvl - 1], c4s[lvl - 1], md))
         x = jnp.concatenate([

@@ -135,6 +135,172 @@ def _corr_bwd_f2_kernel(gp_ref, f1p_ref, out_ref, *, md: int, n_ch: int,
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
+# ---------------------------------------------------------------------------
+# H-major kernels (the level-2 winner)
+#
+# The NHWC kernels above put the *channel* count on the TPU lane axis: C=32
+# at the dominant level-2 footprint pads 4x to the 128-lane VMEM tiles, and
+# assembling the 81 output channels with jnp.stack forces a giant lane
+# relayout -- at (80,112,32,md4) Mosaic crashes outright
+# (benchmarks/corr_ab.py round-1 failure).
+#
+# This family transposes to (N, H, C, W) at the XLA boundary instead:
+#   * H is the MAJOR (untiled) block axis, so the per-dy row windows are
+#     plain dynamic slices with no alignment constraint (Mosaic only
+#     requires provable x8 alignment on the tiled second-minor axis);
+#   * C rides the sublane axis (32 = 4 exact sublane groups, zero pad
+#     waste) and the channel contraction is a cheap sublane reduction --
+#     no cross-lane shuffle cascades;
+#   * W rides the lane axis (112 -> one 128-lane tile); the dx windows are
+#     static lane slices (vector rotates);
+#   * each (dy, dx) writes its own (TH, W) tile of the (N, D^2, H, W)
+#     output -- no stack relayout. The wrapper transposes back to NHWC.
+# VMEM per program at level 2: f1 131KB + whole-H padded f2 721KB + out
+# 331KB -- far under the 16MB scoped limit.
+# ---------------------------------------------------------------------------
+
+
+def _hm_fwd_kernel(f1_ref, f2p_ref, out_ref, *, md: int, n_ch: int, th: int):
+    d = 2 * md + 1
+    w = f1_ref.shape[3]
+    ht = pl.program_id(1)
+    a = f1_ref[0]                                           # (TH, C, W)
+    inv_c = 1.0 / n_ch
+    for dy in range(d):
+        brows = f2p_ref[0, pl.ds(ht * th + dy, th), :, :]   # (TH, C, W+2md)
+        for dx in range(d):
+            prod = a * brows[:, :, dx:dx + w]
+            out_ref[0, dy * d + dx] = (
+                jnp.sum(prod, axis=1, dtype=jnp.float32) * inv_c
+            ).astype(out_ref.dtype)
+
+
+def _hm_fwd_call(f1c: Array, f2c: Array, md: int, interpret: bool) -> Array:
+    """f1c/f2c: (N, H, C, W) -> (N, D^2, H, W)."""
+    n, h, c, w = f1c.shape
+    d = 2 * md + 1
+    th = _h_tile(h)
+    f2p = jnp.pad(f2c, ((0, 0), (md, md), (0, 0), (md, md)))
+    return pl.pallas_call(
+        functools.partial(_hm_fwd_kernel, md=md, n_ch=c, th=th),
+        grid=(n, h // th),
+        in_specs=[
+            pl.BlockSpec((1, th, c, w), lambda b, ht: (b, ht, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h + 2 * md, c, w + 2 * md),
+                         lambda b, ht: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, d * d, th, w),
+                               lambda b, ht: (b, 0, ht, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, d * d, h, w), f1c.dtype),
+        interpret=interpret,
+    )(f1c, f2p)
+
+
+def _hm_bwd_f1_kernel(g_ref, f2p_ref, out_ref, *, md: int, n_ch: int,
+                      th: int):
+    """df1[y,c,x] = 1/C sum_t g[t,y,x] * f2p[y+dy, c, x+dx]."""
+    d = 2 * md + 1
+    w = out_ref.shape[3]
+    ht = pl.program_id(1)
+    inv_c = 1.0 / n_ch
+    acc = jnp.zeros(out_ref.shape[1:], jnp.float32)         # (TH, C, W)
+    for dy in range(d):
+        brows = f2p_ref[0, pl.ds(ht * th + dy, th), :, :]
+        for dx in range(d):
+            gs = g_ref[0, dy * d + dx][:, None, :]          # (TH, 1, W)
+            acc = acc + (gs * brows[:, :, dx:dx + w]).astype(jnp.float32)
+    out_ref[0] = (acc * inv_c).astype(out_ref.dtype)
+
+
+def _hm_bwd_f2_kernel(gp_ref, f1p_ref, out_ref, *, md: int, n_ch: int,
+                      th: int):
+    """df2[y,c,x] = 1/C sum_t g[t, y+2md-dy, x+2md-dx] * f1p[y+2md-dy, c,
+    x+2md-dx] (gp/f1p padded by md; gp is (N, H+2md, D^2, W+2md))."""
+    d = 2 * md + 1
+    w = out_ref.shape[3]
+    ht = pl.program_id(1)
+    inv_c = 1.0 / n_ch
+    acc = jnp.zeros(out_ref.shape[1:], jnp.float32)         # (TH, C, W)
+    for dy in range(d):
+        y0 = ht * th + 2 * md - dy
+        grows = gp_ref[0, pl.ds(y0, th), :, :]              # (TH, D^2, W+2md)
+        arows = f1p_ref[0, pl.ds(y0, th), :, :]             # (TH, C, W+2md)
+        for dx in range(d):
+            x0 = 2 * md - dx
+            gs = grows[:, dy * d + dx, x0:x0 + w][:, None, :]
+            acc = acc + (gs * arows[:, :, x0:x0 + w]).astype(jnp.float32)
+    out_ref[0] = (acc * inv_c).astype(out_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def correlation_pallas_cmajor(f1: Array, f2: Array, md: int = 4,
+                              interpret: bool = False) -> Array:
+    """NHWC in/out; H-major (N, H, C, W) compute layout. Semantics identical
+    to ``correlation_pallas`` / ``correlation_xla``."""
+    f1c = f1.transpose(0, 1, 3, 2)
+    f2c = f2.transpose(0, 1, 3, 2)
+    return _hm_fwd_call(f1c, f2c, md, interpret).transpose(0, 2, 3, 1)
+
+
+def _cm_fwd(f1, f2, md, interpret):
+    return correlation_pallas_cmajor(f1, f2, md, interpret), (f1, f2)
+
+
+def _cm_bwd(md, interpret, res, g):
+    f1, f2 = res
+    n, h, w, c = f1.shape
+    d = 2 * md + 1
+    th = _h_tile(h)
+    gc = g.transpose(0, 3, 1, 2)                            # (N, D^2, H, W)
+    f1c = f1.transpose(0, 1, 3, 2)                          # (N, H, C, W)
+    f2c = f2.transpose(0, 1, 3, 2)
+    padc = ((0, 0), (md, md), (0, 0), (md, md))
+
+    f2p = jnp.pad(f2c, padc)
+    df1 = pl.pallas_call(
+        functools.partial(_hm_bwd_f1_kernel, md=md, n_ch=c, th=th),
+        grid=(n, h // th),
+        in_specs=[
+            pl.BlockSpec((1, d * d, th, w), lambda b, ht: (b, 0, ht, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h + 2 * md, c, w + 2 * md),
+                         lambda b, ht: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, th, c, w), lambda b, ht: (b, ht, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h, c, w), f1.dtype),
+        interpret=interpret,
+    )(gc, f2p)
+
+    # g in H-major layout for the f2 kernel: (N, H+2md, D^2, W+2md)
+    gp = jnp.pad(g.transpose(0, 1, 3, 2), padc)
+    f1p = jnp.pad(f1c, padc)
+    df2 = pl.pallas_call(
+        functools.partial(_hm_bwd_f2_kernel, md=md, n_ch=c, th=th),
+        grid=(n, h // th),
+        in_specs=[
+            pl.BlockSpec((1, h + 2 * md, d * d, w + 2 * md),
+                         lambda b, ht: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h + 2 * md, c, w + 2 * md),
+                         lambda b, ht: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, th, c, w), lambda b, ht: (b, ht, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h, c, w), f2.dtype),
+        interpret=interpret,
+    )(gp, f1p)
+    return df1.transpose(0, 1, 3, 2), df2.transpose(0, 1, 3, 2)
+
+
+correlation_pallas_cmajor.defvjp(_cm_fwd, _cm_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def correlation_pallas(f1: Array, f2: Array, md: int = 4,
                        interpret: bool = False) -> Array:

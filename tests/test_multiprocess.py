@@ -1,0 +1,133 @@
+"""Multi-process data parallelism on localhost (CPU): exercises the
+currently-multi-host-only branches -- ``jax.distributed`` bring-up
+(``parallel.mesh.initialize_distributed``), per-process batch placement via
+``jax.make_array_from_process_local_data`` (``mesh.py::shard_batch``'s
+``process_count > 1`` branch) and per-host loader sharding
+(``data.loader`` ``shard_index``/``num_shards``).
+
+Two subprocesses, each one CPU device, form a 2-device global mesh; each
+contributes its local half of a global batch and runs a jitted
+global-mean + parameter-update step. Both must agree with the full-batch
+result computed locally -- proving the compiled all-reduce spans processes.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+_WORKER = r"""
+import os, sys
+import numpy as np
+
+# one CPU device per process; must be set before jax import
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+coord, pid, outdir = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+sys.path.insert(0, sys.argv[4])
+
+from maskflownet_tpu.parallel.mesh import (batch_sharding,
+                                           initialize_distributed, make_mesh,
+                                           replicated_sharding, shard_batch)
+
+initialize_distributed(coord, 2, pid)
+assert jax.process_count() == 2, jax.process_count()
+assert jax.device_count() == 2, jax.device_count()
+
+# --- per-host loader sharding: each process sees a disjoint index stream
+from maskflownet_tpu.data.loader import Dataset, TrainLoader
+n = 8
+base = np.arange(n, dtype=np.float32)
+img = [np.full((4, 4, 3), i, np.float32) for i in base]
+flow = [np.zeros((4, 4, 2), np.float32) for _ in base]
+loader = TrainLoader([Dataset((img, img, flow))], batch_size=2,
+                     orig_shape=(4, 4), seed=7, shard_index=pid,
+                     num_shards=2, flow_dtype=np.float32)
+seen = set()
+for _ in range(2):          # one shard epoch = 4 samples = 2 batches of 2
+    b = loader.get()
+    seen.update(int(v) for v in b[0][:, 0, 0, 0])
+with open(os.path.join(outdir, f"seen_{pid}.txt"), "w") as fp:
+    fp.write(",".join(str(s) for s in sorted(seen)))
+
+# --- global batch via make_array_from_process_local_data + compiled allreduce
+mesh = make_mesh()
+local = np.arange(4, dtype=np.float32).reshape(2, 2) + 10 * pid  # (2,2) local
+gbatch, = shard_batch(mesh, (local,))
+assert gbatch.shape == (4, 2), gbatch.shape   # global batch = 2 procs x 2
+
+params = np.ones((2,), np.float32)
+
+@jax.jit
+def step(p, x):
+    # toy "train step": replicated params, data-sharded batch, global-mean
+    # gradient -> XLA inserts the cross-process all-reduce
+    g = jax.numpy.mean(x, axis=0)
+    return p - 0.1 * g, jax.numpy.mean(x)
+
+step = jax.jit(step.__wrapped__,
+               in_shardings=(replicated_sharding(mesh), batch_sharding(mesh)),
+               out_shardings=(replicated_sharding(mesh),
+                              replicated_sharding(mesh)))
+new_p, mean = step(params, gbatch)
+new_p = np.asarray(new_p.addressable_data(0))   # replicated -> local copy
+mean = float(np.asarray(mean.addressable_data(0)))
+with open(os.path.join(outdir, f"result_{pid}.txt"), "w") as fp:
+    fp.write(f"{mean}\n" + ",".join(str(float(v)) for v in new_p))
+"""
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_data_parallel(tmp_path):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = tmp_path / "worker.py"
+    worker.write_text(_WORKER)
+    coord = f"127.0.0.1:{_free_port()}"
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker), coord, str(pid), str(tmp_path), repo],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for pid in (0, 1)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+        outs.append(out.decode(errors="replace"))
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-3000:]
+
+    # loader shards are disjoint and cover the dataset
+    seen0 = set((tmp_path / "seen_0.txt").read_text().split(","))
+    seen1 = set((tmp_path / "seen_1.txt").read_text().split(","))
+    assert len(seen0) == 4 and len(seen1) == 4
+    assert not (seen0 & seen1)
+    assert {int(float(s)) for s in seen0 | seen1} == set(range(8))
+
+    # both processes computed the same global mean / updated params,
+    # equal to the full-batch math done here
+    full = np.concatenate([np.arange(4, dtype=np.float32).reshape(2, 2)
+                           + 10 * pid for pid in (0, 1)])
+    want_mean = float(full.mean())
+    want_p = 1.0 - 0.1 * full.mean(axis=0)
+    for pid in (0, 1):
+        lines = (tmp_path / f"result_{pid}.txt").read_text().splitlines()
+        assert abs(float(lines[0]) - want_mean) < 1e-5
+        got_p = np.array([float(v) for v in lines[1].split(",")])
+        np.testing.assert_allclose(got_p, want_p, rtol=1e-6)
