@@ -39,25 +39,52 @@ def correlation_xla(f1: Array, f2: Array, md: int) -> Array:
 
 
 def correlation(f1: Array, f2: Array, md: int, *, use_pallas: bool | None = None) -> Array:
-    """Cost volume with (2md+1)^2 output channels. See module docstring."""
+    """Cost volume with (2md+1)^2 output channels. See module docstring.
+
+    Shape-aware kernel dispatch (measured on v5e, benchmarks/corr_ab.py):
+
+    * fine levels (W >= 96): the H-major Pallas family
+      (``correlation_pallas_cmajor``) -- W fills the 128-lane axis and the
+      channel reduction runs on sublanes. Wins at the dominant level-2
+      footprint (fwd 0.79 vs 0.91 ms XLA; fwd+bwd 1.01 vs 1.88 ms) where
+      the NHWC kernel cannot even compile (Mosaic relayout blow-up).
+      At narrow W it collapses (L3: 27 ms -- the (th, W) output tiles go
+      sub-tile and every write becomes a read-modify-write), hence the
+      W threshold.
+    * coarse levels (small W, large C): the NHWC kernel
+      (``correlation_pallas``) -- C fills the lanes instead. Wins 1.2-2.7x
+      over XLA at levels 3/4, ties at 5/6.
+
+    ``MFN_PALLAS=0`` forces XLA; ``MFN_CORR`` forces a family
+    ('cmajor'/'nhwc'/'xla') for A/B runs.
+    """
+    import os
+
+    env_kind = os.environ.get("MFN_CORR")
     if use_pallas is None:
-        import os
-        # Shape-aware auto (measured, benchmarks/corr_ab.py): the fused
-        # kernel wins 2.2-2.6x at pyramid levels 3+ but loses at the level-2
-        # footprint -- and this PJRT backend stages whole pallas_call
-        # operands/results in scoped VMEM (16 MB limit), which OOMs there
-        # anyway. Gate on the staged-bytes estimate; MFN_PALLAS=0/1 forces.
-        n, h, w, c = f1.shape
-        dd = (2 * md + 1) ** 2
-        staged = 2 * n * (h * w * (dd + c) + (h + 2 * md) * (w + 2 * md) * c)
         env = os.environ.get("MFN_PALLAS")
         use_pallas = (jax.default_backend() == "tpu"
-                      and staged <= 8 * 1024 * 1024
                       if env is None else env not in ("", "0"))
-    if use_pallas:
-        try:
-            from maskflownet_tpu.ops.pallas.correlation import correlation_pallas
-            return correlation_pallas(f1, f2, md)
-        except ImportError:
-            pass
-    return correlation_xla(f1, f2, md)
+    n, h, w, c = f1.shape
+    dd = (2 * md + 1) ** 2
+    if env_kind == "xla" or not use_pallas:
+        return correlation_xla(f1, f2, md)
+    kind = env_kind
+    if kind is None:
+        if w >= 96:
+            kind = "cmajor"
+        else:
+            # the NHWC kernel stages (TH,W+2md,C->128) lane-padded blocks;
+            # keep its staged-bytes guard for exotic large shapes
+            staged = 2 * n * (h * w * (dd + c)
+                              + (h + 2 * md) * (w + 2 * md) * c)
+            kind = "nhwc" if staged <= 12 * 1024 * 1024 else "cmajor"
+    try:
+        if kind == "cmajor":
+            from maskflownet_tpu.ops.pallas.correlation import \
+                correlation_pallas_cmajor
+            return correlation_pallas_cmajor(f1, f2, md)
+        from maskflownet_tpu.ops.pallas.correlation import correlation_pallas
+        return correlation_pallas(f1, f2, md)
+    except ImportError:
+        return correlation_xla(f1, f2, md)

@@ -160,6 +160,18 @@ def _corr_bwd_f2_kernel(gp_ref, f1p_ref, out_ref, *, md: int, n_ch: int,
 # ---------------------------------------------------------------------------
 
 
+def _h_tile_hm(h: int, cap: int = 32) -> int:
+    """H tile for the H-major family: the (N, D^2, H, W) output block puts
+    the tile second-to-last, so it must be x8-divisible (or the full H)."""
+    # prefer full bf16 sublane tiles (x16) -- sub-tile (th, W) output
+    # writes become read-modify-writes and dominate at narrow shapes
+    for mod in (16, 8):
+        for t in range(min(cap, h), mod - 1, -1):
+            if h % t == 0 and t % mod == 0:
+                return t
+    return h
+
+
 def _hm_fwd_kernel(f1_ref, f2p_ref, out_ref, *, md: int, n_ch: int, th: int):
     d = 2 * md + 1
     w = f1_ref.shape[3]
@@ -179,7 +191,7 @@ def _hm_fwd_call(f1c: Array, f2c: Array, md: int, interpret: bool) -> Array:
     """f1c/f2c: (N, H, C, W) -> (N, D^2, H, W)."""
     n, h, c, w = f1c.shape
     d = 2 * md + 1
-    th = _h_tile(h)
+    th = _h_tile_hm(h)
     f2p = jnp.pad(f2c, ((0, 0), (md, md), (0, 0), (md, md)))
     return pl.pallas_call(
         functools.partial(_hm_fwd_kernel, md=md, n_ch=c, th=th),
@@ -201,16 +213,21 @@ def _hm_fwd_call(f1c: Array, f2c: Array, md: int, interpret: bool) -> Array:
 
 def _hm_bwd_f1_kernel(g_ref, f2p_ref, out_ref, *, md: int, n_ch: int,
                       th: int):
-    """df1[y,c,x] = 1/C sum_t g[t,y,x] * f2p[y+dy, c, x+dx]."""
+    """df1[y,c,x] = 1/C sum_t g[y,t,x] * f2p[y+dy, c, x+dx]. g arrives in
+    H-major layout (N, H, D^2, W) so the per-tap read is a rank-preserving
+    value slice (Mosaic cannot lower the (TH,W)->(TH,1,W) reshape a
+    channel-indexed load would need)."""
     d = 2 * md + 1
     w = out_ref.shape[3]
     ht = pl.program_id(1)
     inv_c = 1.0 / n_ch
+    gall = g_ref[0]                                         # (TH, D^2, W)
     acc = jnp.zeros(out_ref.shape[1:], jnp.float32)         # (TH, C, W)
     for dy in range(d):
         brows = f2p_ref[0, pl.ds(ht * th + dy, th), :, :]
         for dx in range(d):
-            gs = g_ref[0, dy * d + dx][:, None, :]          # (TH, 1, W)
+            t = dy * d + dx
+            gs = gall[:, t:t + 1, :]                        # (TH, 1, W)
             acc = acc + (gs * brows[:, :, dx:dx + w]).astype(jnp.float32)
     out_ref[0] = (acc * inv_c).astype(out_ref.dtype)
 
@@ -230,7 +247,8 @@ def _hm_bwd_f2_kernel(gp_ref, f1p_ref, out_ref, *, md: int, n_ch: int,
         arows = f1p_ref[0, pl.ds(y0, th), :, :]             # (TH, C, W+2md)
         for dx in range(d):
             x0 = 2 * md - dx
-            gs = grows[:, dy * d + dx, x0:x0 + w][:, None, :]
+            t = dy * d + dx
+            gs = grows[:, t:t + 1, x0:x0 + w]               # (TH, 1, W)
             acc = acc + (gs * arows[:, :, x0:x0 + w]).astype(jnp.float32)
     out_ref[0] = (acc * inv_c).astype(out_ref.dtype)
 
@@ -253,8 +271,8 @@ def _cm_bwd(md, interpret, res, g):
     f1, f2 = res
     n, h, w, c = f1.shape
     d = 2 * md + 1
-    th = _h_tile(h)
-    gc = g.transpose(0, 3, 1, 2)                            # (N, D^2, H, W)
+    th = _h_tile_hm(h)
+    ghm = g.transpose(0, 1, 3, 2)                           # (N, H, D^2, W)
     f1c = f1.transpose(0, 1, 3, 2)                          # (N, H, C, W)
     f2c = f2.transpose(0, 1, 3, 2)
     padc = ((0, 0), (md, md), (0, 0), (md, md))
@@ -264,7 +282,7 @@ def _cm_bwd(md, interpret, res, g):
         functools.partial(_hm_bwd_f1_kernel, md=md, n_ch=c, th=th),
         grid=(n, h // th),
         in_specs=[
-            pl.BlockSpec((1, d * d, th, w), lambda b, ht: (b, 0, ht, 0),
+            pl.BlockSpec((1, th, d * d, w), lambda b, ht: (b, ht, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, h + 2 * md, c, w + 2 * md),
                          lambda b, ht: (b, 0, 0, 0),
@@ -274,10 +292,10 @@ def _cm_bwd(md, interpret, res, g):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, h, c, w), f1.dtype),
         interpret=interpret,
-    )(gc, f2p)
+    )(ghm, f2p)
 
     # g in H-major layout for the f2 kernel: (N, H+2md, D^2, W+2md)
-    gp = jnp.pad(g.transpose(0, 1, 3, 2), padc)
+    gp = jnp.pad(ghm, padc)
     f1p = jnp.pad(f1c, padc)
     df2 = pl.pallas_call(
         functools.partial(_hm_bwd_f2_kernel, md=md, n_ch=c, th=th),

@@ -202,6 +202,16 @@ class Trainer:
         key = (in_hw, resize)
         if key in self._infer_cache:
             return self._infer_cache[key]
+        if len(self._infer_cache) == 8:
+            # bucket guard (each (shape, resize) pair compiles its own XLA
+            # program): per-frame native shapes (e.g. unresized KITTI) would
+            # compile per image -- pass `resize` or resize at read instead
+            import warnings
+            warnings.warn(
+                "inference shape-bucket cache exceeds 8 entries; every new "
+                "(shape, resize) pair triggers a full XLA compile. Resize "
+                "inputs to a common shape (dataset readers do this) or pass "
+                "`resize=` to validate/predict.", stacklevel=3)
         s = self.settings
         h, w = in_hw
         if resize is None:

@@ -100,8 +100,15 @@ def main(argv=None):
         return trainer.validate(v1, v2, vf, vv, batch_size=args.batch)
 
     curve = []
+
+    def checkpoint_curve():
+        # incremental artifact: survive timeouts/kills with a usable curve
+        with open(args.out + ".partial", "w") as fp:
+            json.dump({"curve": curve}, fp)
+
     epe0 = evaluate()
     curve.append([0, round(float(epe0), 4)])
+    checkpoint_curve()
     print(f"step 0: epe {epe0:.3f}", flush=True)
 
     t_train0 = time.time()
@@ -113,6 +120,7 @@ def main(argv=None):
             epe = evaluate()
             t_spent_eval += time.time() - te
             curve.append([step, round(float(epe), 4)])
+            checkpoint_curve()
             print(f"step {step}: epe {epe:.3f} loss {float(m['loss']):.4f} "
                   f"({time.time() - t_train0:.0f}s)", flush=True)
     prefetch.stop()
