@@ -1,4 +1,7 @@
-"""A/B the fused Pallas deform-conv kernel vs the gather path on the chip.
+"""A/B the deform-conv formulations on the chip: 'gather' (16 corner
+gathers), 'unfold' (one wide patch gather), 'warpconv' (conv-then-warp via
+the replicated-offset identity), 'onehot' (MXU matmuls), and the fused
+Pallas kernel.
 
 Shapes are MaskFlownet-S's per-level deform sites at the chairs stage
 (320x448 input, batch 8): levels 2..5 plus the cascade's level-6 site.
@@ -10,6 +13,8 @@ from maskflownet_tpu.ops.deform import flow_guided_deform_conv3x3
 from maskflownet_tpu.ops.pallas.deform import deform_conv3x3_pallas
 
 K = 30
+METHODS = os.environ.get(
+    "MFN_AB_METHODS", "gather,unfold,warpconv,pallas").split(",")
 
 
 def time_loop(body, init, iters=3):
@@ -31,38 +36,35 @@ def main():
                                  jnp.float32) * 3
         wgt = jax.random.normal(jax.random.PRNGKey(2), (3, 3, c, c),
                                 jnp.bfloat16) * 0.1
-        try:
-            a = np.asarray(jax.jit(lambda x, f: flow_guided_deform_conv3x3(
-                x, f, wgt, None, method="gather"))(x, flow), np.float32)
-            b = np.asarray(jax.jit(lambda x, f: deform_conv3x3_pallas(
-                x, f, wgt))(x, flow), np.float32)
-            err = np.max(np.abs(a - b)) / max(1e-6, np.max(np.abs(a)))
 
-            def chain(out, f):
-                d = (jnp.mean(out.astype(jnp.float32)) * 1e-12)
-                return f + d.astype(f.dtype)
+        def op(m):
+            if m == "pallas":
+                return lambda xx, f: deform_conv3x3_pallas(xx, f, wgt)
+            return lambda xx, f: flow_guided_deform_conv3x3(
+                xx, f, wgt, None, method=m)
 
-            tg = time_loop(lambda f: chain(flow_guided_deform_conv3x3(
-                x, f, wgt, None, method="gather"), f), flow)
-            tp = time_loop(lambda f: chain(deform_conv3x3_pallas(
-                x, f, wgt), f), flow)
+        ref = np.asarray(jax.jit(op("gather"))(x, flow), np.float32)
+        print(f"({h:3d},{w:3d},{c:3d}):")
+        for m in METHODS:
+            try:
+                got = np.asarray(jax.jit(op(m))(x, flow), np.float32)
+                err = np.max(np.abs(ref - got)) / max(1e-6, np.max(np.abs(ref)))
 
-            def gb(fn):
+                def chain(out, f):
+                    d = (jnp.mean(out.astype(jnp.float32)) * 1e-12)
+                    return f + d.astype(f.dtype)
+
+                fn = op(m)
+                tf = time_loop(lambda f: chain(fn(x, f), f), flow)
+
                 def g(f):
                     return jax.grad(lambda ff: jnp.sum(
-                        fn(ff).astype(jnp.float32) ** 2))(f)
-                return g
-
-            gg = gb(lambda f: flow_guided_deform_conv3x3(
-                x, f, wgt, None, method="gather"))
-            gp = gb(lambda f: deform_conv3x3_pallas(x, f, wgt))
-            tgb = time_loop(lambda f: 0.9 * f + 0.1 * gg(f), flow)
-            tpb = time_loop(lambda f: 0.9 * f + 0.1 * gp(f), flow)
-            print(f"({h:3d},{w:3d},{c:3d}): fwd gather {tg:7.3f} pallas "
-                  f"{tp:7.3f} | f+b gather {tgb:7.3f} pallas {tpb:7.3f} ms"
-                  f"  relerr {err:.2e}")
-        except Exception as e:
-            print(f"({h},{w},{c}): FAILED {type(e).__name__}: {str(e)[:160]}")
+                        fn(x, ff).astype(jnp.float32) ** 2))(f)
+                tb = time_loop(lambda f: 0.9 * f + 0.1 * g(f), flow)
+                print(f"  {m:9s} fwd {tf:7.3f}  f+b {tb:7.3f} ms"
+                      f"  relerr {err:.2e}")
+            except Exception as e:
+                print(f"  {m:9s} FAILED {type(e).__name__}: {str(e)[:140]}")
 
 
 if __name__ == "__main__":

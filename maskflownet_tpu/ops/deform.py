@@ -71,6 +71,51 @@ def _unfold_deform(x: Array, flow: Array, weight: Array,
     return out
 
 
+def _warpconv_deform(x: Array, flow: Array, weight: Array,
+                     bias: Array | None) -> Array:
+    """Conv-then-warp: the algebraically minimal formulation.
+
+    Because all 9 taps share the SAME per-pixel offset (the reference always
+    feeds ``F.repeat(flow, 9)``, ``network/MaskFlownet.py:230`` et al.), the
+    bilinear weights commute with the tap sum:
+
+      ``sum_k w_k . bilin(I)(p+f+k)  ==  bilin(C)(p+f)``
+      with ``C(q) = sum_k w_k I(q+k)``  (cross-correlation form, no flip),
+
+    since ``bilin(C)(p+f) = sum_corners beta_c C(q_c) = sum_k w_k
+    sum_corners beta_c I(q_c+k)`` -- the corner set and fractional weights
+    depend only on ``frac(p+f)``, not on k. Zero out-of-bounds taps are
+    preserved exactly by computing C on a one-pixel-EXTENDED grid
+    (coordinates [-1, H] x [-1, W]): a corner at extended coordinate -1
+    legitimately reads boundary pixels through its ky=+1 tap, while corners
+    at <=-2 have every tap out of bounds -- which is exactly the zero-padded
+    extended C.
+
+    So the heavy lifting is one dense 3x3 XLA conv (pure MXU, fused by the
+    compiler) and one 2x2-window bilinear gather of the conv output --
+    versus 'unfold''s 4x4-window gather + 21-lerp cascade + 9*Cin matmul.
+    Same FLOPs in the contraction, ~4x less gather traffic, and the
+    backward pass is a conv-transpose instead of patch scatters.
+    """
+    from maskflownet_tpu.ops.warp import backwarp_coords
+    n, h, w, cin = x.shape
+    dtype = x.dtype
+    xp = jnp.pad(x, ((0, 0), (2, 2), (2, 2), (0, 0)))
+    conv = jax.lax.conv_general_dilated(
+        xp, weight.astype(dtype), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=dtype)              # (N, H+2, W+2, Cout)
+    gy = jax.lax.broadcasted_iota(jnp.float32, (1, h, w), 1)
+    gx = jax.lax.broadcasted_iota(jnp.float32, (1, h, w), 2)
+    # +1: extended-grid index q' = image coordinate q + 1
+    sy = gy + 1.0 + flow[..., 0].astype(jnp.float32)
+    sx = gx + 1.0 + flow[..., 1].astype(jnp.float32)
+    out = backwarp_coords(conv, sy, sx)
+    if bias is not None:
+        out = out + bias
+    return out
+
+
 def _onehot_deform(x: Array, flow: Array, weight: Array,
                    bias: Array | None, row_tile: int = 16) -> Array:
     """MXU formulation of the flow-guided deform conv (see
@@ -213,13 +258,18 @@ def flow_guided_deform_conv3x3(x: Array, flow: Array, weight: Array,
         return _compat_deform(x, flow, weight, bias)
     if method == "auto":
         import os
-        # Measured on the chip (benchmarks/deform_ab.py): 'unfold' (one wide
-        # patch gather per pixel) beats 'gather' (16 corner gathers) ~5x at
-        # the dominant level-2 shape, and both beat 'onehot' / the fused
-        # Pallas one-hot kernel (MXU time wasted on the dense H+2
-        # interpolation matrix). MFN_DEFORM overrides for A/B experiments.
-        default = "unfold" if jax.default_backend() == "tpu" else "gather"
+        # Measured on v5e (benchmarks/deform_ab.py, b8 chairs-stage level
+        # shapes, fwd / fwd+bwd ms): 'warpconv' (conv-then-warp via the
+        # replicated-offset identity) wins every level -- L2 1.56/1.60 vs
+        # 'unfold' 2.30/2.68, L3 1.04/1.07 vs 1.59/1.89, ties at the 5x7
+        # L6 site. 'unfold' in turn beats 'gather' (16 corner gathers) ~5x
+        # at L2, and all beat 'onehot' / the fused Pallas one-hot kernel
+        # (MXU time wasted on the dense interpolation matrix).
+        # MFN_DEFORM overrides for A/B experiments.
+        default = "warpconv" if jax.default_backend() == "tpu" else "gather"
         method = os.environ.get("MFN_DEFORM", default)
+    if method == "warpconv":
+        return _warpconv_deform(x, flow, weight, bias)
     if method == "unfold":
         return _unfold_deform(x, flow, weight, bias)
     if method == "pallas":

@@ -384,3 +384,62 @@ class TestUnfoldFormulations:
         for a, b in zip(grads("gather"), grads("unfold")):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-4)
+
+
+class TestWarpconvFormulation:
+    """deform == warp(conv3x3(x)) on the one-pixel-extended grid (the
+    replicated-offset identity, ``ops/deform.py::_warpconv_deform``): values
+    and gradients must match the gather reference exactly, including far
+    out-of-bounds windows and edge-straddling corners."""
+
+    def test_deform_conv_warpconv_matches_gather(self):
+        from maskflownet_tpu.ops.deform import flow_guided_deform_conv3x3
+        r = np.random.RandomState(2)
+        x = jnp.asarray(r.rand(2, 10, 12, 6).astype(np.float32))
+        flow = jnp.asarray((r.rand(2, 10, 12, 2) * 30 - 15).astype(np.float32))
+        wgt = jnp.asarray(r.randn(3, 3, 6, 4).astype(np.float32) * 0.2)
+        bias = jnp.asarray(r.randn(4).astype(np.float32))
+        a = flow_guided_deform_conv3x3(x, flow, wgt, bias, method="gather")
+        b = flow_guided_deform_conv3x3(x, flow, wgt, bias, method="warpconv")
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_deform_conv_warpconv_boundary_corners(self):
+        """Window centers landing fractionally outside the image: the
+        extended-grid corner at coordinate -1 must still see boundary rows
+        through its inward taps (the case a naive warp-of-unextended-conv
+        would zero out)."""
+        from maskflownet_tpu.ops.deform import flow_guided_deform_conv3x3
+        r = np.random.RandomState(5)
+        x = jnp.asarray(r.rand(1, 6, 7, 2).astype(np.float32))
+        wgt = jnp.asarray(r.randn(3, 3, 2, 3).astype(np.float32) * 0.3)
+        for off in (-1.5, -0.5, 0.5):  # straddle the top-left border
+            flow = jnp.stack([
+                jnp.full((1, 6, 7), off) - jax.lax.broadcasted_iota(
+                    jnp.float32, (1, 6, 7), 1),
+                jnp.full((1, 6, 7), off) - jax.lax.broadcasted_iota(
+                    jnp.float32, (1, 6, 7), 2),
+            ], axis=-1)
+            a = flow_guided_deform_conv3x3(x, flow, wgt, None, method="gather")
+            b = flow_guided_deform_conv3x3(x, flow, wgt, None,
+                                           method="warpconv")
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6)
+
+    def test_deform_conv_warpconv_grads_match(self):
+        from maskflownet_tpu.ops.deform import flow_guided_deform_conv3x3
+        r = np.random.RandomState(7)
+        x = jnp.asarray(r.rand(1, 8, 10, 4).astype(np.float32))
+        flow = jnp.asarray(
+            (np.floor(r.rand(1, 8, 10, 2) * 10 - 5) + 0.4).astype(np.float32))
+        wgt = jnp.asarray(r.randn(3, 3, 4, 5).astype(np.float32) * 0.3)
+
+        def grads(m):
+            def f(xx, ff, ww):
+                return jnp.sum(flow_guided_deform_conv3x3(
+                    xx, ff, ww, None, method=m) ** 2)
+            return jax.grad(f, argnums=(0, 1, 2))(x, flow, wgt)
+
+        for a, b in zip(grads("gather"), grads("warpconv")):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4)

@@ -41,6 +41,13 @@ def main(argv=None):
     p.add_argument("--compute_dtype", type=str, default="bfloat16")
     p.add_argument("--out", type=str, default="CONVERGENCE.json")
     p.add_argument("--platform", type=str, default=None)
+    p.add_argument("--input", type=str, default="cache",
+                   choices=("cache", "prefetch"),
+                   help="'cache': HBM-resident batches with background host "
+                        "refresh (DeviceBatchCache -- the production path "
+                        "when the chip sits behind a network tunnel; echo "
+                        "factor is recorded). 'prefetch': double-buffered "
+                        "host->device transfer of every batch.")
     args = p.parse_args(argv)
 
     import jax
@@ -93,8 +100,12 @@ def main(argv=None):
                 fl.astype(np.float16),
                 np.clip(mk * 255 + 0.5, 0, 255).astype(np.uint8))
 
-    prefetch = DevicePrefetcher(loader.get, trainer.mesh, depth=2,
-                                transform=host_aug)
+    if args.input == "cache":
+        prefetch = DeviceBatchCache(lambda: host_aug(loader.get()),
+                                    trainer.mesh, slots=8)
+    else:
+        prefetch = DevicePrefetcher(loader.get, trainer.mesh, depth=2,
+                                    transform=host_aug)
 
     def evaluate():
         return trainer.validate(v1, v2, vf, vv, batch_size=args.batch)
@@ -138,7 +149,11 @@ def main(argv=None):
         "train_pairs": args.train_pairs,
         "val_pairs": args.val_pairs,
         "lr": args.lr,
-        "input_path": "TrainLoader+host_geo_aug+DevicePrefetcher+device_color_aug",
+        "input_path": ("TrainLoader+host_geo_aug+"
+                       + ("DeviceBatchCache" if args.input == "cache"
+                          else "DevicePrefetcher")
+                       + "+device_color_aug"),
+        "echo_factor": round(getattr(prefetch, "echo_factor", 0.0), 2),
         "curve": curve,
         "epe0": curve[0][1],
         "final_epe": final,
