@@ -31,7 +31,7 @@ def fake_correlation(f1, f2, md, **kw):
                             f1.shape[:3] + (c,))
 
 
-def fake_deform(x, flow, weight, bias=None, method="auto"):
+def fake_deform(x, flow, weight, bias=None, method="auto", **kw):
     # plain 3x3 conv, ignore the flow offsets
     out = jax.lax.conv_general_dilated(
         x, weight.astype(x.dtype), (1, 1), "SAME",

@@ -12,11 +12,20 @@ The training loop samples a slot every step (uniform, no immediate repeat)
 while a daemon thread keeps streaming fresh host batches over the link,
 replacing slots round-robin. Each transferred batch is therefore reused
 ``~step_rate/refresh_rate`` times — bounded data echoing (Choi et al. 2020,
-"Faster Neural Network Training with Data Echoing", arXiv:1907.05550). For
-this workload echoing is unusually benign: geometric + chromatic augmentation
+"Faster Neural Network Training with Data Echoing", arXiv:1907.05550).
+
+How benign echoing is depends on where augmentation runs. Color augmentation
 executes on device *inside* the jitted train step with a fresh PRNG key each
-step, so an echoed sample still gets a brand-new crop/warp/color draw on
-every reuse — only the underlying frame pair repeats.
+step, so every reuse gets a brand-new chromatic draw. Geometry is different:
+with ``--aug device`` it too is redrawn per step, but with the default
+``--aug host`` the crop/warp is baked into the cached batch at refresh time,
+so echoes of one slot repeat the same geometry and only refreshes bring a
+new draw. Empirical check (CONVERGENCE_r02.json): a 20k-step run with host
+geometry aug and echo_factor ~60 still drove held-out EPE 15.0 -> 0.29 px —
+echoing slowed nothing measurable on that curriculum — but the factor is
+tracked (:attr:`echo_factor`) and recorded by ``bench.py`` and
+``tools/convergence.py`` precisely so regressions are visible rather than
+assumed away.
 
 For datasets that fit in HBM (FlyingChairs is ~43 GB at full resolution —
 fits a 95 GB v5p chip; a 370-batch KITTI fine-tune set fits anything), set

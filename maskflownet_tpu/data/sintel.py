@@ -82,14 +82,24 @@ def list_data(root: str | None = None, split_file: str | None = None) -> dict:
                         dataset[part + str(split[c])][subset].append(entry)
                         c += 1
                 if part == "training" and split is not None and len(seq_labels) > 1:
-                    # the official split assigns whole sequences; a mixed
-                    # label means our (sorted) enumeration order disagrees
-                    # with the order the split file was generated under
-                    raise ValueError(
+                    # The OFFICIAL split assigns whole sequences, so a mixed
+                    # label there means our (sorted) enumeration order
+                    # disagrees with the order the split file was generated
+                    # under -- silently training on validation frames.
+                    # Custom/synthetic split files may legitimately mix
+                    # labels within a sequence (the reference semantics are
+                    # line-per-pair, sintel.py:42-43), so only official-scale
+                    # files (the full 1041-pair enumeration) hard-fail.
+                    msg = (
                         f"Sintel sequence {seq!r} received mixed train/val "
                         f"split labels {sorted(seq_labels)}: enumeration "
                         f"order does not match the split file (see module "
                         f"docstring)")
+                    if len(split) >= 1041:
+                        raise ValueError(msg)
+                    import warnings
+                    warnings.warn(msg + " -- assuming an intentional "
+                                  "custom per-pair split", stacklevel=2)
     return dataset
 
 

@@ -190,13 +190,20 @@ def test_sintel_reader(sintel_tree):
 
 
 def test_sintel_split_order_guard(sintel_tree, tmp_path):
-    """A split file whose labels mix within a sequence (enumeration-order
-    mismatch) must raise, not silently contaminate train with val frames."""
+    """An OFFICIAL-scale split file whose labels mix within a sequence
+    (enumeration-order mismatch) must raise, not silently contaminate train
+    with val frames; small custom files only warn (the reference semantics
+    are line-per-pair, so intentional per-pair splits are legal)."""
     root, _ = sintel_tree
-    bad = tmp_path / "bad_split.txt"
-    np.savetxt(str(bad), np.array([1, 2, 1, 2] * 2), fmt="%d")
+    official_scale = tmp_path / "official_scale.txt"
+    np.savetxt(str(official_scale),
+               np.tile([1, 2], 521)[:1041], fmt="%d")
     with pytest.raises(ValueError, match="mixed"):
-        sintel.list_data(root, str(bad))
+        sintel.list_data(root, str(official_scale))
+    custom = tmp_path / "custom_split.txt"
+    np.savetxt(str(custom), np.array([1, 2, 1, 2] * 2), fmt="%d")
+    with pytest.warns(UserWarning, match="mixed"):
+        sintel.list_data(root, str(custom))
     short = tmp_path / "short_split.txt"
     np.savetxt(str(short), np.array([1, 1]), fmt="%d")
     with pytest.raises(ValueError, match="split"):

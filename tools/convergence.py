@@ -48,6 +48,18 @@ def main(argv=None):
                         "when the chip sits behind a network tunnel; echo "
                         "factor is recorded). 'prefetch': double-buffered "
                         "host->device transfer of every batch.")
+    p.add_argument("--model", type=str, default="MaskFlownet_S",
+                   choices=("MaskFlownet_S", "MaskFlownet"))
+    p.add_argument("--load_head", type=str, default=None,
+                   help="bootstrap the cascade head from a MaskFlownet_S "
+                        "checkpoint (reference main.py:129-139 flow); "
+                        "implies --fix_head unless --no_fix_head")
+    p.add_argument("--no_fix_head", action="store_true")
+    p.add_argument("--q", type=float, default=None,
+                   help="robust-loss exponent (cascade stages use 0.4)")
+    p.add_argument("--save", type=str, default=None,
+                   help="checkpoint prefix to save params+opt state to "
+                        "at the end of the run (Trainer.save)")
     args = p.parse_args(argv)
 
     import jax
@@ -77,12 +89,18 @@ def main(argv=None):
                                   args.val_pairs, th, tw)
     print(f"generated in {time.time() - t0:.0f}s", flush=True)
 
+    fix_head = bool(args.load_head) and not args.no_fix_head
     settings = TrainSettings(
-        model="MaskFlownet_S", model_cfg=ModelConfig(),
+        model=args.model, model_cfg=ModelConfig(), q=args.q,
+        fix_head=fix_head,
         compute_dtype=args.compute_dtype, target_shape=(th, tw),
         orig_shape=(oh, ow), geo=None,
         color=presets.color_aug_config("chairs"))
     trainer = Trainer(settings)
+    if args.load_head:
+        trainer.load_head(args.load_head)
+        print(f"loaded head from {args.load_head} (fix_head={fix_head})",
+              flush=True)
 
     loader = TrainLoader([Dataset(tr_cols)] * args.batch, args.batch,
                          (oh, ow), seed=1)
@@ -135,13 +153,18 @@ def main(argv=None):
             print(f"step {step}: epe {epe:.3f} loss {float(m['loss']):.4f} "
                   f"({time.time() - t_train0:.0f}s)", flush=True)
     prefetch.stop()
+    if args.save:
+        trainer.save(args.save)
+        print(f"saved checkpoint to {args.save}.npz", flush=True)
 
     train_s = time.time() - t_train0 - t_spent_eval
     sps = args.steps * args.batch / train_s
     final = curve[-1][1]
     out = {
         "task": "synthetic_affine_flow",
-        "model": "MaskFlownet_S",
+        "model": args.model,
+        "fix_head": fix_head,
+        "q": args.q,
         "device": str(jax.devices()[0].device_kind),
         "steps": args.steps,
         "batch": args.batch,
