@@ -37,7 +37,14 @@ _PEAK_TFLOPS = {
 
 
 def main():
+    import os
+
     import jax
+    # persistent compilation cache: the chairs-stage train step compiles in
+    # minutes over a tunneled backend; cache it across bench invocations
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".jax_cache_tpu"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
     from maskflownet_tpu.config import presets
     from maskflownet_tpu.models import ModelConfig
