@@ -1,20 +1,32 @@
 """Benchmark: MaskFlownet-S training throughput on the attached TPU chip.
 
-Measures end-to-end train-step samples/s (augmentation + forward + multiscale
-loss + grad + Adam in one compiled program) at the FlyingChairs stage shape
-(batch 8, 320x448 crops) and compares against the reference MXNet figure of
-~25 samples/s on a single multi-GPU host (BASELINE.md: total_time=0.16-0.21
-s/step at batch 4; chairs stage runs batch 8).
+Measures end-to-end train-step samples/s at the FlyingChairs stage shape
+(batch 8, 320x448 crops from 384x512 sources) and compares against the
+reference MXNet figure of ~25 samples/s on a single multi-GPU host
+(BASELINE.md: total_time=0.16-0.21 s/step at batch 4; chairs runs batch 8).
+
+Headline path (geometry-fresh echoing): raw orig-shape uint8 batches are
+kept resident in device HBM (``DeviceBatchCache``) while crop + geometric +
+chromatic augmentation run INSIDE the jitted train step with a fresh PRNG
+key every step -- so even when a cached batch is echoed, every step sees a
+brand-new crop/affine/color draw. Echoing only ever re-uses raw pixels,
+never a geometry draw. This is the ``--device_cache N`` CLI path (which
+defaults to ``--aug device`` when caching).
 
 Reported fields (one JSON line):
-  value / vs_baseline   cached-input throughput (HBM-resident batches with
-                        background refresh -- the --device_cache production
-                        path; echo_factor tells how much echoing occurred)
-  uncached_samples_per_s  the classic double-buffered host->device prefetch
-                        path (no reuse): host aug + wire transfer in the loop
-  step_ms               compiled-step wall time (cached inputs)
-  flops_per_step_g      XLA cost-analysis FLOPs of the train step
-  mfu                   flops/step / step_time / chip bf16 peak
+  value / vs_baseline    fresh-geometry samples/s on the cache path
+  echo_factor            mean raw-pixel reuses per transferred batch during
+                         the measurement window (geometry is fresh per step
+                         regardless)
+  uncached_samples_per_s the classic double-buffered host->device prefetch
+                         path (host geometry aug on the loader thread, every
+                         batch crosses the wire; the --device_cache 0 path)
+  step_ms                compiled-step wall time, in-step augmentation
+                         included (device-resident batch)
+  step_ms_host_aug       compiled-step wall time when geometry aug runs on
+                         the host instead (the in-step aug cost = difference)
+  flops_per_step_g       XLA cost-analysis FLOPs of the headline step
+  mfu                    flops/step / step_time / chip bf16 peak
 See PERF.md for the step-time breakdown and roofline discussion.
 """
 
@@ -41,12 +53,16 @@ def main():
 
     import jax
     # persistent compilation cache: the chairs-stage train step compiles in
-    # minutes over a tunneled backend; cache it across bench invocations
-    jax.config.update("jax_compilation_cache_dir", os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), ".jax_cache_tpu"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    # minutes over a tunneled backend; cache it across bench invocations.
+    # Set MFN_NO_COMPILE_CACHE=1 to disable (cold-compile measurements, or
+    # to bypass a stale/corrupt cache dir).
+    if not os.environ.get("MFN_NO_COMPILE_CACHE"):
+        jax.config.update("jax_compilation_cache_dir", os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".jax_cache_tpu"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
     from maskflownet_tpu.config import presets
+    from maskflownet_tpu.config.presets import geometry_aug_config
     from maskflownet_tpu.models import ModelConfig
     from maskflownet_tpu.training import Trainer, TrainSettings
 
@@ -54,57 +70,49 @@ def main():
     oh, ow = 384, 512   # chairs orig_shape
     batch = 8
 
-    # Production input placement (CLI defaults): geometric augmentation on
-    # the host input-pipeline thread, color augmentation on device (fresh
-    # per echo-reuse), batches HBM-cached with background refresh.
+    geo_cfg = geometry_aug_config("chairs", (th, tw), (oh, ow))
+
+    # ---- headline trainer: crop+geometry+color aug all inside the step ----
     settings = TrainSettings(
         model="MaskFlownet_S",
         model_cfg=ModelConfig(),
         compute_dtype="bfloat16",
         target_shape=(th, tw),
         orig_shape=(oh, ow),
-        geo=None,
+        geo=geo_cfg,
         color=presets.color_aug_config("chairs"),
     )
     trainer = Trainer(settings)
 
-    from maskflownet_tpu.augment.host_geometry import batch_host_geometry
-    from maskflownet_tpu.config.presets import geometry_aug_config
     from maskflownet_tpu.data import DeviceBatchCache
     from maskflownet_tpu.parallel import DevicePrefetcher
 
-    geo_cfg = geometry_aug_config("chairs", (th, tw), (oh, ow))
     rng = np.random.RandomState(0)
     n_variants = 8  # distinct host batches cycling through the refresh thread
     batches = []
     for v in range(n_variants):
         img1 = rng.randint(0, 255, (batch, oh, ow, 3)).astype(np.uint8)
         img2 = rng.randint(0, 255, (batch, oh, ow, 3)).astype(np.uint8)
-        flow = (rng.randn(batch, oh, ow, 2) * 4).astype(np.float32)
-        batches.append((img1, img2, flow))
+        flow = (rng.randn(batch, oh, ow, 2) * 4).astype(np.float16)
+        mask = np.full((batch, 1, 1, 1), 255, np.uint8)
+        batches.append((img1, img2, flow, mask))
 
     counter = {"i": 0}
-    aug_rng = np.random.RandomState(1)
 
-    def source():
-        img1, img2, flow = batches[counter["i"] % n_variants]
+    def raw_source():
+        b = batches[counter["i"] % n_variants]
         counter["i"] += 1
-        i1, i2, fl, mk = batch_host_geometry(
-            aug_rng, img1.astype(np.float32), img2.astype(np.float32),
-            flow, None, geo_cfg)
-        return (np.clip(i1 + 0.5, 0, 255).astype(np.uint8),
-                np.clip(i2 + 0.5, 0, 255).astype(np.uint8),
-                fl.astype(np.float16),
-                np.clip(mk * 255 + 0.5, 0, 255).astype(np.uint8))
+        return b
 
-    prefetch = DeviceBatchCache(source, trainer.mesh, slots=8)
+    prefetch = DeviceBatchCache(raw_source, trainer.mesh, slots=8)
 
     # warmup / compile
     for _ in range(3):
         m = trainer.train_batch_device(prefetch.get(), lr=1e-4)
     assert np.isfinite(float(m["loss"])), m
 
-    # ---- cached-input throughput (production --device_cache path) ----
+    # ---- headline: fresh-geometry throughput on the cache path ----
+    prefetch.serves = prefetch.transfers = 0  # echo over the window only
     n_steps = 30
     t0 = time.perf_counter()
     for _ in range(n_steps):
@@ -114,7 +122,8 @@ def main():
     samples_per_s = batch * n_steps / dt
     echo = prefetch.echo_factor
 
-    # ---- pure compiled-step time (device-resident constant batch) ----
+    # ---- pure compiled-step time (device-resident constant raw batch;
+    # the per-step folded key still redraws geometry+color every step) ----
     const_batch = prefetch.get()
     for _ in range(2):
         m = trainer.train_batch_device(const_batch, lr=1e-4)
@@ -126,21 +135,7 @@ def main():
     step_ms = (time.perf_counter() - t0) / n_steps * 1e3
     prefetch.stop()
 
-    # ---- uncached path: double-buffered prefetch, every batch crosses the
-    # wire after host augmentation (the --device_cache 0 CLI default) ----
-    pf = DevicePrefetcher(source, trainer.mesh, depth=2)
-    for _ in range(2):
-        m = trainer.train_batch_device(pf.get(), lr=1e-4)
-    float(m["loss"])
-    n_un = 15
-    t0 = time.perf_counter()
-    for _ in range(n_un):
-        m = trainer.train_batch_device(pf.get(), lr=1e-4)
-    float(m["loss"])
-    uncached_sps = batch * n_un / (time.perf_counter() - t0)
-    pf.stop()
-
-    # ---- FLOPs + MFU from XLA cost analysis ----
+    # ---- FLOPs + MFU from XLA cost analysis (headline step) ----
     flops = mfu = None
     try:
         import jax.numpy as jnp
@@ -157,6 +152,53 @@ def main():
             mfu = flops / (step_ms * 1e-3) / (peak * 1e12)
     except Exception:
         pass
+    del trainer
+
+    # ---- comparison trainer: geometry aug on the host (the --aug host
+    # step program) for the in-step aug cost, plus the uncached
+    # double-buffered path (the --device_cache 0 CLI default) ----
+    from maskflownet_tpu.augment.host_geometry import batch_host_geometry
+    settings_h = TrainSettings(
+        model="MaskFlownet_S",
+        model_cfg=ModelConfig(),
+        compute_dtype="bfloat16",
+        target_shape=(th, tw),
+        orig_shape=(oh, ow),
+        geo=None,
+        color=presets.color_aug_config("chairs"),
+    )
+    trainer_h = Trainer(settings_h)
+    aug_rng = np.random.RandomState(1)
+
+    def host_aug_source():
+        img1, img2, flow, _ = batches[counter["i"] % n_variants]
+        counter["i"] += 1
+        i1, i2, fl, mk = batch_host_geometry(
+            aug_rng, img1.astype(np.float32), img2.astype(np.float32),
+            flow.astype(np.float32), None, geo_cfg)
+        return (np.clip(i1 + 0.5, 0, 255).astype(np.uint8),
+                np.clip(i2 + 0.5, 0, 255).astype(np.uint8),
+                fl.astype(np.float16),
+                np.clip(mk * 255 + 0.5, 0, 255).astype(np.uint8))
+
+    pf = DevicePrefetcher(host_aug_source, trainer_h.mesh, depth=2)
+    for _ in range(3):
+        m = trainer_h.train_batch_device(pf.get(), lr=1e-4)
+    float(m["loss"])
+    const_h = pf.get()
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        m = trainer_h.train_batch_device(const_h, lr=1e-4)
+    float(m["loss"])
+    step_ms_host = (time.perf_counter() - t0) / n_steps * 1e3
+
+    n_un = 15
+    t0 = time.perf_counter()
+    for _ in range(n_un):
+        m = trainer_h.train_batch_device(pf.get(), lr=1e-4)
+    float(m["loss"])
+    uncached_sps = batch * n_un / (time.perf_counter() - t0)
+    pf.stop()
 
     out = {
         "metric": "maskflownet_s_train_throughput_chairs_b8",
@@ -164,8 +206,10 @@ def main():
         "unit": "samples/s/chip",
         "vs_baseline": round(samples_per_s / BASELINE_SAMPLES_PER_S, 3),
         "echo_factor": round(echo, 2),
+        "geometry_fresh": True,
         "uncached_samples_per_s": round(uncached_sps, 2),
         "step_ms": round(step_ms, 2),
+        "step_ms_host_aug": round(step_ms_host, 2),
         "device": str(jax.devices()[0].device_kind),
     }
     if flops is not None:

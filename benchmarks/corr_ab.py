@@ -25,10 +25,52 @@ def time_loop(body, init, iters=3):
         best = min(best, time.perf_counter() - t0)
     return best / K * 1e3
 
+import functools
+
+
+def _leaky(x):
+    return jnp.where(x >= 0, x, 0.1 * x)
+
+
+def _xla_leaky(f1, f2, md):
+    return _leaky(correlation_xla(f1, f2, md))
+
+
+def _cmajor_leaky(f1, f2, md):
+    return correlation_pallas_cmajor(f1, f2, md, False, 0.1)
+
+
+def _nhwc_leaky(f1, f2, md):
+    return correlation_pallas(f1, f2, md, False, 0.1)
+
+
+# backward ablation: Pallas (H-major) forward, XLA autodiff backward --
+# isolates how much the hand-written backward kernels actually buy
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _cmajor_fwd_xla_bwd(f1, f2, md):
+    return correlation_pallas_cmajor(f1, f2, md)
+
+
+def _hyb_fwd(f1, f2, md):
+    return correlation_pallas_cmajor(f1, f2, md), (f1, f2)
+
+
+def _hyb_bwd(md, res, g):
+    f1, f2 = res
+    _, vjp = jax.vjp(lambda a, b: correlation_xla(a, b, md), f1, f2)
+    return vjp(g)
+
+
+_cmajor_fwd_xla_bwd.defvjp(_hyb_fwd, _hyb_bwd)
+
 VARIANTS = {
     "xla": correlation_xla,
     "pallas": correlation_pallas,
     "cmajor": correlation_pallas_cmajor,
+    "xla+lk": _xla_leaky,
+    "cmaj+lk": _cmajor_leaky,
+    "nhwc+lk": _nhwc_leaky,
+    "cmaj/xlabwd": _cmajor_fwd_xla_bwd,
 }
 
 key = jax.random.PRNGKey(0)
@@ -53,7 +95,8 @@ for (tag, h, w, c, md) in SHAPES:
         try:
             got = np.asarray(jax.jit(lambda a, b: fn(a, b, md))(f1, f2),
                              np.float32)
-            err = np.max(np.abs(got - ref))
+            want = np.where(ref >= 0, ref, 0.1 * ref) if "+lk" in name else ref
+            err = np.max(np.abs(got - want))
             t_f = time_loop(lambda f: chain(fn(f1, f, md), f), f2)
             gfn = lambda f: jax.grad(lambda ff: jnp.sum(
                 fn(f1, ff, md).astype(jnp.float32) ** 2))(f)

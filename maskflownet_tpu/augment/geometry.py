@@ -55,6 +55,67 @@ def _uniform(key, lo, hi, shape=()):
     return jax.random.uniform(key, shape, jnp.float32, lo, hi)
 
 
+def _pick_sampler(cfg: "GeometryAugConfig", orig: tuple[int, int],
+                  target: tuple[int, int]):
+    """TPU path: the windowed Pallas sampler (``ops/pallas/affine.py``),
+    with a *sound* static per-tile source-window bound derived from the
+    config's transform ranges. The generic gather path costs ~57 ms of the
+    chairs train step at batch 8 (full-res f32 gathers are descriptor-bound
+    on TPU); the windowed MXU kernel samples the same maps in ~its HBM time.
+
+    Window-bound derivation: in pixel space the sampling map's linear part
+    is exactly ``[[s*a*cos, -s*a*sin], [s*sin, s*cos]]`` (the normalized
+    units cancel against the grid denormalization; s = zoom, a = aspect,
+    times the relative scale for img2), so over an output tile of (T, U)
+    the source coordinates spread at most ``B*(sin_max*U + T)`` rows and
+    ``B*(U + sin_max*T)`` cols with ``B = zoom_max * aspect_max *
+    rel_scale_max``. The force-translation clip only shrinks the spread.
+
+    Returns a sampler(img, gx, gy, precise_ch) or None (non-TPU backend,
+    incompatible tile divisibility, or MFN_AUG_SAMPLER=xla).
+    """
+    import math as _math
+    import os
+
+    choice = os.environ.get("MFN_AUG_SAMPLER")
+    if choice == "xla":
+        return None
+    if choice != "pallas" and jax.default_backend() != "tpu":
+        return None
+    th, tw = target
+    oh, ow = orig
+    if th % 8:
+        return None
+    u_cols = next((d for d in range(64, 15, -1) if tw % d == 0), None)
+    if u_cols is None:
+        return None
+
+    b_lin = cfg.zoom_range[1] \
+        * (cfg.aspect_range[1] if cfg.aspect_range else 1.0) \
+        * (cfg.relative_scale[1] if cfg.relative_angle is not None else 1.0)
+    ang = abs(cfg.angle_range[0]) + abs(cfg.angle_range[1])
+    if cfg.relative_angle is not None:
+        ang *= (1.0 + cfg.relative_angle)
+    sin_max = min(1.0, _math.sin(min(ang * _math.pi / 180.0, _math.pi / 2)))
+    t_rows = 8
+    win_y = int(_math.ceil(b_lin * (sin_max * u_cols + t_rows))) + 4
+    win_x = int(_math.ceil(b_lin * (u_cols + sin_max * t_rows))) + 4
+
+    from maskflownet_tpu.ops.pallas.affine import windowed_sample
+
+    interpret = jax.default_backend() != "tpu"  # MFN_AUG_SAMPLER=pallas on CPU
+
+    def sampler(img, gx, gy, precise_ch):
+        h, w = img.shape[1], img.shape[2]
+        sy = (gy + 1.0) * ((h - 1) / 2.0)
+        sx = (gx + 1.0) * ((w - 1) / 2.0)
+        return windowed_sample(img, sy, sx, window=(win_y, win_x),
+                               tile=(t_rows, u_cols),
+                               precise_ch=precise_ch, interpret=interpret)
+
+    return sampler
+
+
 def geometry_augmentation(key: Array, img1: Array, img2: Array, flow: Array,
                           mask: Array, cfg: GeometryAugConfig):
     """img1/img2: (B, oh, ow, 3); flow: (B, oh, ow, 2) (dy, dx) source px;
@@ -150,12 +211,16 @@ def geometry_augmentation(key: Array, img1: Array, img2: Array, flow: Array,
     mask_b = jnp.broadcast_to(mask.astype(jnp.float32), flow.shape[:3] + (1,))
     packed = jnp.concatenate(
         [img1, mask_b, flow.astype(jnp.float32) * mask_b], axis=-1)
-    packed = grid_sample_normalized(packed, g1x, g1y)
+    sampler = _pick_sampler(cfg, (oh, ow), (th, tw))
+    if sampler is not None:
+        packed = sampler(packed, g1x, g1y, precise_ch=3)
+        img2_a = sampler(img2, g2x, g2y, precise_ch=0)
+    else:
+        packed = grid_sample_normalized(packed, g1x, g1y)
+        img2_a = grid_sample_normalized(img2, g2x, g2y)
     img1_a = packed[..., 0:3]
     mask_a = packed[..., 3:4]
     flow_s = packed[..., 4:6] / jnp.maximum(mask_a, 1e-8)  # (dy, dx)
-
-    img2_a = grid_sample_normalized(img2, g2x, g2y)
 
     # ---- induced flow-vector transform: F'(p) = T2^-1(T1 p + F~) - p ----
     # pixel-space maps from the normalized affines actually used for sampling

@@ -59,13 +59,19 @@ def parse_args(argv=None):
                         "decouples training throughput from host->device "
                         "link bandwidth. 0 = classic double-buffered "
                         "prefetch")
-    p.add_argument("--aug", type=str, default="host",
-                   choices=["host", "device"],
+    p.add_argument("--aug", type=str, default="auto",
+                   choices=["auto", "host", "device"],
                    help="where geometric augmentation runs: 'host' (input-"
-                        "pipeline threads, the TPU-native default; color "
-                        "aug stays on device) or 'device' (inside the "
-                        "jitted step, the reference's placement)")
-    return p.parse_args(argv)
+                        "pipeline threads; color aug stays on device) or "
+                        "'device' (inside the jitted step). 'auto' picks "
+                        "device when --device_cache is active (so echoed "
+                        "batches get a fresh crop/affine draw every step) "
+                        "and host otherwise (fewer wire bytes, overlapped "
+                        "with compute)")
+    args = p.parse_args(argv)
+    if args.aug == "auto":
+        args.aug = "device" if args.device_cache else "host"
+    return args
 
 
 def build_settings(args, config, dataset_cfg):

@@ -34,6 +34,11 @@ from maskflownet_tpu.data import codecs, paths
 
 SHAPE = (436, 1024)
 
+# Pair count of the full official training enumeration (clean or final);
+# split files at least this long are treated as official-scale and a mixed
+# per-sequence label hard-fails instead of warning (see list_data).
+OFFICIAL_SINTEL_PAIRS = 1041
+
 
 def list_data(root: str | None = None, split_file: str | None = None) -> dict:
     root = root or paths.sintel_root()
@@ -95,7 +100,7 @@ def list_data(root: str | None = None, split_file: str | None = None) -> dict:
                         f"split labels {sorted(seq_labels)}: enumeration "
                         f"order does not match the split file (see module "
                         f"docstring)")
-                    if len(split) >= 1041:
+                    if len(split) >= OFFICIAL_SINTEL_PAIRS:
                         raise ValueError(msg)
                     import warnings
                     warnings.warn(msg + " -- assuming an intentional "

@@ -40,11 +40,10 @@ class ModelConfig:
     deform_bias: bool = True
     upfeat_ch: tuple[int, ...] = (16, 16, 16, 16)
     strict_c2s_compat: bool = True
-    # replicate the reference's MXNet deform offset-layout quirk (taps 0-3
-    # sample at (dy,dy), center (dy,dx), taps 5-8 (dx,dx) -- see
-    # ops.deform._compat_offsets); required for bit-faithful forward parity
-    # with imported pretrained checkpoints, off for native training
-    strict_offset_compat: bool = False
+    # (a strict_offset_compat deform mode existed in round 2, built on a
+    # misreading of the reference's offset expression; the parity oracle
+    # proved the clean rigid-window semantics ARE the reference semantics,
+    # so it was removed -- see ops.deform docstring)
     # multiscale loss weights live in the training config, not here
 
     @property
@@ -119,7 +118,9 @@ def maskflownet_s(ctx: nn.Ctx, im1: Array, im2: Array,
     c21, c22, c23, c24, c25, c26 = c2s
 
     # ---- level 6 ----
-    corr6 = nn.leaky_relu(correlation(c16, c26, md))
+    # leaky=0.1 fuses the post-cost-volume LeakyReLU (MaskFlownet.py:216-217)
+    # into the Pallas kernel epilogue
+    corr6 = correlation(c16, c26, md, leaky=0.1)
     x = _dense_block(ctx, 6, corr6)
     flow = _pred_flow(ctx, 6, x)
     mask = _pred_mask(ctx, 6, x)
@@ -135,13 +136,12 @@ def maskflownet_s(ctx: nn.Ctx, im1: Array, im2: Array,
         mask = upsample(mask, 2)
         offsets = flow * (cfg.scale / stride)  # level-pixel units, f32
         warp = deform_conv(ctx, f"deform{lvl}", c2l, offsets, c2l.shape[-1],
-                           use_bias=cfg.deform_bias,
-                           offset_compat=cfg.strict_offset_compat)
+                           use_bias=cfg.deform_bias)
         gate = jax.nn.sigmoid(mask).astype(dtype)
         warp = warp * gate + nn.conv(ctx, f"conv{lvl}f", feat, c2l.shape[-1],
                                      act=False)
         warp = nn.leaky_relu(warp)
-        corr = nn.leaky_relu(correlation(c1l, warp, md))
+        corr = correlation(c1l, warp, md, leaky=0.1)
         x = jnp.concatenate([corr, c1l, feat, flow.astype(dtype)], axis=-1)
         x = _dense_block(ctx, lvl, x)
         flow = flow + _pred_flow(ctx, lvl, x)
@@ -207,9 +207,9 @@ def maskflownet(ctx: nn.Ctx, im1: Array, im2: Array,
     flow = head_flows[0]
     warp6u = nn.leaky_relu(deform_conv(
         ctx, "deform6", c26, flow * (cfg.scale / STRIDES[0]), c26.shape[-1],
-        use_bias=cfg.deform_bias, offset_compat=cfg.strict_offset_compat))
-    corr6u = nn.leaky_relu(correlation(c16, warp6u, md))
-    corr6v = nn.leaky_relu(correlation(c3s[5], c4s[5], md))
+        use_bias=cfg.deform_bias))
+    corr6u = correlation(c16, warp6u, md, leaky=0.1)
+    corr6v = correlation(c3s[5], c4s[5], md, leaky=0.1)
     x = jnp.concatenate([corr6u, corr6v, flow.astype(dtype)], axis=-1)
     x = _dense_block(ctx, 6, x)
     flow = flow + _pred_flow(ctx, 6, x)
@@ -224,10 +224,9 @@ def maskflownet(ctx: nn.Ctx, im1: Array, im2: Array,
         flow = upsample(flow, 2)
         warpu = nn.leaky_relu(deform_conv(
             ctx, f"deform{lvl}", c2l, flow * (cfg.scale / stride),
-            c2l.shape[-1], use_bias=cfg.deform_bias,
-            offset_compat=cfg.strict_offset_compat))
-        corru = nn.leaky_relu(correlation(c1l, warpu, md))
-        corrv = nn.leaky_relu(correlation(c3s[lvl - 1], c4s[lvl - 1], md))
+            c2l.shape[-1], use_bias=cfg.deform_bias))
+        corru = correlation(c1l, warpu, md, leaky=0.1)
+        corrv = correlation(c3s[lvl - 1], c4s[lvl - 1], md, leaky=0.1)
         x = jnp.concatenate([
             c1l, feat, corru, corrv, flow.astype(dtype),
             head_flows[idx + 1].astype(dtype)], axis=-1)

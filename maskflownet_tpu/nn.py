@@ -163,7 +163,7 @@ def conv(ctx: Ctx, name: str, x: Array, cout: int, *, k: int = 3,
 
 
 def deconv(ctx: Ctx, name: str, x: Array, cout: int, *, k: int = 4,
-           stride: int = 2, act: bool = True) -> Array:
+           stride: int = 2, pad: int = 1, act: bool = True) -> Array:
     """Transposed conv (kernel 4, stride 2, pad 1 -> exact 2x upsample),
     mirroring the reference deconv factory (``network/MaskFlownet.py:176-183``).
 
@@ -172,10 +172,12 @@ def deconv(ctx: Ctx, name: str, x: Array, cout: int, *, k: int = 4,
     symmetric padding ``k - 1 - p``. The kernel is stored in HWIO and trained
     from scratch, so no spatial flip is required for equivalence.
     """
+    if not 0 <= pad <= k - 1:
+        raise ValueError(f"deconv pad={pad} out of range for k={k}")
     cin = x.shape[-1]
     w = ctx.param(f"{name}/w", (k, k, cin, cout), msra_prelu())
     b = ctx.param(f"{name}/b", (cout,), zeros_init)
-    pad = k - 1 - 1  # transposed-conv pad = 1
+    pad = k - 1 - pad  # transposed-conv pad -> forward-conv pad
     y = lax.conv_general_dilated(
         x, w, window_strides=(1, 1), padding=[(pad, pad), (pad, pad)],
         lhs_dilation=(stride, stride), dimension_numbers=_DN,

@@ -38,8 +38,15 @@ def correlation_xla(f1: Array, f2: Array, md: int) -> Array:
     return jnp.stack(outs, axis=-1)
 
 
-def correlation(f1: Array, f2: Array, md: int, *, use_pallas: bool | None = None) -> Array:
+def correlation(f1: Array, f2: Array, md: int, *,
+                use_pallas: bool | None = None,
+                leaky: float | None = None) -> Array:
     """Cost volume with (2md+1)^2 output channels. See module docstring.
+
+    ``leaky`` fuses the LeakyReLU(slope) that always follows the cost volume
+    in the model into the Pallas kernel epilogue (saving one HBM round trip
+    of the largest activation); the XLA path applies it as a separate
+    elementwise op (which XLA fuses itself).
 
     Shape-aware kernel dispatch (measured on v5e, benchmarks/corr_ab.py):
 
@@ -65,10 +72,13 @@ def correlation(f1: Array, f2: Array, md: int, *, use_pallas: bool | None = None
         env = os.environ.get("MFN_PALLAS")
         use_pallas = (jax.default_backend() == "tpu"
                       if env is None else env not in ("", "0"))
+    def act(out):
+        return out if leaky is None else jnp.where(out >= 0, out, leaky * out)
+
     n, h, w, c = f1.shape
     dd = (2 * md + 1) ** 2
     if env_kind == "xla" or not use_pallas:
-        return correlation_xla(f1, f2, md)
+        return act(correlation_xla(f1, f2, md))
     kind = env_kind
     if kind is None:
         if w >= 96:
@@ -83,8 +93,8 @@ def correlation(f1: Array, f2: Array, md: int, *, use_pallas: bool | None = None
         if kind == "cmajor":
             from maskflownet_tpu.ops.pallas.correlation import \
                 correlation_pallas_cmajor
-            return correlation_pallas_cmajor(f1, f2, md)
+            return correlation_pallas_cmajor(f1, f2, md, False, leaky)
         from maskflownet_tpu.ops.pallas.correlation import correlation_pallas
-        return correlation_pallas(f1, f2, md)
+        return correlation_pallas(f1, f2, md, False, leaky)
     except ImportError:
-        return correlation_xla(f1, f2, md)
+        return act(correlation_xla(f1, f2, md))

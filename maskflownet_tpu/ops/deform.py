@@ -185,77 +185,25 @@ def _onehot_deform(x: Array, flow: Array, weight: Array,
     return out
 
 
-def _compat_offsets(flow: Array):
-    """MXNet offset-layout quirk (reference ``MaskFlownet.py:230`` et al.):
-    the reference feeds ``F.repeat(flow, 9, axis=1)`` -- 9x dy then 9x dx --
-    into ``F.contrib.DeformableConvolution``, whose offset channels are
-    *interleaved per-tap (y, x) pairs*. Tap k therefore reads
-    (offset[2k], offset[2k+1]): taps 0-3 get (dy, dy), the center tap
-    (dy, dx), taps 5-8 (dx, dx). Returns the per-tap (oy, ox) pairs in
-    row-major tap order."""
-    dy = flow[..., 0]
-    dx = flow[..., 1]
-    return [(dy, dy)] * 4 + [(dy, dx)] + [(dx, dx)] * 4
-
-
-def _compat_deform(x: Array, flow: Array, weight: Array,
-                   bias: Array | None) -> Array:
-    """Bit-faithful replication of the reference's deform sampling under the
-    repeat-layout quirk (see ``_compat_offsets``): each tap group has its own
-    fractional offset, so taps are sampled per-group via the unfold gather
-    and contracted in one MXU matmul. Used for imported-MXNet-checkpoint
-    parity (``ModelConfig.strict_offset_compat``); the framework's own
-    training uses the clean rigid-window semantics."""
-    n, h, w, cin = x.shape
-    dtype = x.dtype
-    gy = jax.lax.broadcasted_iota(jnp.float32, (n, h, w), 1)
-    gx = jax.lax.broadcasted_iota(jnp.float32, (n, h, w), 2)
-    taps = []
-    cache: dict = {}
-    for k, (oy, ox) in enumerate(_compat_offsets(flow)):
-        ky, kx = k // 3 - 1, k % 3 - 1
-        key = (id(oy), id(ox))
-        if key not in cache:
-            sy = gy + oy.astype(jnp.float32)
-            sx = gx + ox.astype(jnp.float32)
-            y0 = jnp.floor(sy)
-            x0 = jnp.floor(sx)
-            cache[key] = (
-                unfold_patches(x, y0.astype(jnp.int32) - 1,
-                               x0.astype(jnp.int32) - 1, 4),
-                (sy - y0)[..., None].astype(dtype),
-                (sx - x0)[..., None].astype(dtype))
-        p, fy, fx = cache[key]
-        u, b = ky + 1, kx + 1
-        top = p[..., u, b, :] * (1 - fx) + p[..., u, b + 1, :] * fx
-        bot = p[..., u + 1, b, :] * (1 - fx) + p[..., u + 1, b + 1, :] * fx
-        taps.append((1 - fy) * top + fy * bot)
-    stacked = jnp.concatenate(taps, axis=-1)               # (N,H,W,9*Cin)
-    wmat = weight.astype(dtype).reshape(9 * cin, -1)
-    out = jax.lax.dot_general(
-        stacked.reshape(-1, 9 * cin), wmat,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=dtype,
-    ).reshape(n, h, w, -1)
-    if bias is not None:
-        out = out + bias
-    return out
-
-
 def flow_guided_deform_conv3x3(x: Array, flow: Array, weight: Array,
                                bias: Array | None = None,
-                               method: str = "auto",
-                               offset_compat: bool = False) -> Array:
+                               method: str = "auto") -> Array:
     """x: (N,H,W,Cin); flow: (N,H,W,2) (dy,dx) pixels at this level;
     weight: (3,3,Cin,Cout); bias: (Cout,) or None. -> (N,H,W,Cout).
 
     ``method``: 'gather' (16 shared corner gathers; best off-TPU), 'onehot'
-    (MXU matmul formulation; best on TPU), or 'auto'. ``offset_compat``
-    reproduces the reference's MXNet offset-layout quirk exactly (see
-    ``_compat_deform``) for pretrained-checkpoint parity.
+    (MXU matmul formulation), 'warpconv' (conv-then-warp identity; TPU
+    default), 'unfold', 'pallas', or 'auto'.
+
+    These rigid-window semantics are *exactly* the reference's: the offsets
+    it feeds (``F.repeat(F.expand_dims(flow, 1), 9, 1).reshape((0,-3,-2))``,
+    ``MaskFlownet.py:230`` et al.) tile the (dy, dx) pair per tap in MXNet's
+    interleaved per-tap (y, x) channel layout — proven numerically against
+    the deformable_im2col oracle in tests/test_parity_oracle.py. (An earlier
+    round shipped a ``strict_offset_compat`` mode built on a misreading that
+    dropped the expand_dims/reshape pair; it was removed once the oracle
+    settled the question.)
     """
-    if offset_compat:
-        return _compat_deform(x, flow, weight, bias)
     if method == "auto":
         import os
         # Measured on v5e (benchmarks/deform_ab.py, b8 chairs-stage level
@@ -322,12 +270,11 @@ def flow_guided_deform_conv3x3(x: Array, flow: Array, weight: Array,
 
 
 def deform_conv(ctx: "nn.Ctx", name: str, x: Array, flow: Array, cout: int,
-                *, use_bias: bool = True, offset_compat: bool = False) -> Array:
+                *, use_bias: bool = True) -> Array:
     """Parameterized wrapper (the framework's ``DeformableConv2D`` equivalent,
     cf. reference ``network/layer.py:32-124``; always kernel 3, stride 1,
     pad 1, one deformable group)."""
     cin = x.shape[-1]
     wgt = ctx.param(f"{name}/w", (3, 3, cin, cout), nn.msra_prelu())
     b = ctx.param(f"{name}/b", (cout,), nn.zeros_init) if use_bias else None
-    return flow_guided_deform_conv3x3(x, flow, wgt, b,
-                                      offset_compat=offset_compat)
+    return flow_guided_deform_conv3x3(x, flow, wgt, b)

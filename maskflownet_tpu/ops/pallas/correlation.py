@@ -23,6 +23,15 @@ Design:
     in f32 (``jnp.sum(..., dtype=f32)``), on the lane axis.
   * Backward kernels accumulate df1/df2 across the dy grid axis in a
     revisited output block (zero-initialized at dy == 0).
+  * ``leaky`` fuses the LeakyReLU that always follows the cost volume in the
+    model (reference ``MaskFlownet.py:216-217``) into the kernel epilogue,
+    applied to the f32 accumulator before the output cast -- the (N,H,W,81)
+    cost volume (the largest activation in the network) is then written to
+    HBM exactly once instead of read+written again by a separate
+    elementwise op. The backward pre-scales the cotangent by the activation
+    derivative using the saved *output* sign (out >= 0 iff pre-activation
+    >= 0 since the slope is positive), an elementwise op XLA fuses into the
+    cotangent transpose.
 
 Gradient support via ``jax.custom_vjp`` (pallas_call is not differentiable).
 """
@@ -46,8 +55,12 @@ def _h_tile(h: int, cap: int = 16) -> int:
     return h
 
 
+def _leaky(v, slope):
+    return v if slope is None else jnp.where(v >= 0, v, slope * v)
+
+
 def _corr_fwd_kernel(f1_ref, f2p_ref, out_ref, *, md: int, n_ch: int,
-                     th: int):
+                     th: int, leaky):
     d = 2 * md + 1
     w = f1_ref.shape[2]
     ht = pl.program_id(1)
@@ -58,17 +71,20 @@ def _corr_fwd_kernel(f1_ref, f2p_ref, out_ref, *, md: int, n_ch: int,
         brows = f2p_ref[0, pl.ds(ht * th + dy, th), :, :]   # (TH, W+2md, C)
         for dx in range(d):
             b = brows[:, dx:dx + w, :]
-            outs.append(jnp.sum(a * b, axis=-1, dtype=jnp.float32) * inv_c)
+            outs.append(_leaky(
+                jnp.sum(a * b, axis=-1, dtype=jnp.float32) * inv_c, leaky))
     out_ref[0] = jnp.stack(outs, axis=-1).astype(out_ref.dtype)
 
 
-def _corr_fwd_call(f1: Array, f2: Array, md: int, interpret: bool) -> Array:
+def _corr_fwd_call(f1: Array, f2: Array, md: int, interpret: bool,
+                   leaky=None) -> Array:
     n, h, w, c = f1.shape
     d = 2 * md + 1
     th = _h_tile(h)
     f2p = jnp.pad(f2, ((0, 0), (md, md), (md, md), (0, 0)))
     return pl.pallas_call(
-        functools.partial(_corr_fwd_kernel, md=md, n_ch=c, th=th),
+        functools.partial(_corr_fwd_kernel, md=md, n_ch=c, th=th,
+                          leaky=leaky),
         grid=(n, h // th),
         in_specs=[
             pl.BlockSpec((1, th, w, c), lambda b, ht: (b, ht, 0, 0),
@@ -172,7 +188,8 @@ def _h_tile_hm(h: int, cap: int = 32) -> int:
     return h
 
 
-def _hm_fwd_kernel(f1_ref, f2p_ref, out_ref, *, md: int, n_ch: int, th: int):
+def _hm_fwd_kernel(f1_ref, f2p_ref, out_ref, *, md: int, n_ch: int, th: int,
+                   leaky):
     d = 2 * md + 1
     w = f1_ref.shape[3]
     ht = pl.program_id(1)
@@ -182,19 +199,20 @@ def _hm_fwd_kernel(f1_ref, f2p_ref, out_ref, *, md: int, n_ch: int, th: int):
         brows = f2p_ref[0, pl.ds(ht * th + dy, th), :, :]   # (TH, C, W+2md)
         for dx in range(d):
             prod = a * brows[:, :, dx:dx + w]
-            out_ref[0, dy * d + dx] = (
-                jnp.sum(prod, axis=1, dtype=jnp.float32) * inv_c
+            out_ref[0, dy * d + dx] = _leaky(
+                jnp.sum(prod, axis=1, dtype=jnp.float32) * inv_c, leaky
             ).astype(out_ref.dtype)
 
 
-def _hm_fwd_call(f1c: Array, f2c: Array, md: int, interpret: bool) -> Array:
+def _hm_fwd_call(f1c: Array, f2c: Array, md: int, interpret: bool,
+                 leaky=None) -> Array:
     """f1c/f2c: (N, H, C, W) -> (N, D^2, H, W)."""
     n, h, c, w = f1c.shape
     d = 2 * md + 1
     th = _h_tile_hm(h)
     f2p = jnp.pad(f2c, ((0, 0), (md, md), (0, 0), (md, md)))
     return pl.pallas_call(
-        functools.partial(_hm_fwd_kernel, md=md, n_ch=c, th=th),
+        functools.partial(_hm_fwd_kernel, md=md, n_ch=c, th=th, leaky=leaky),
         grid=(n, h // th),
         in_specs=[
             pl.BlockSpec((1, th, c, w), lambda b, ht: (b, ht, 0, 0),
@@ -253,22 +271,27 @@ def _hm_bwd_f2_kernel(gp_ref, f1p_ref, out_ref, *, md: int, n_ch: int,
     out_ref[0] = (acc * inv_c).astype(out_ref.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def correlation_pallas_cmajor(f1: Array, f2: Array, md: int = 4,
-                              interpret: bool = False) -> Array:
+                              interpret: bool = False,
+                              leaky: float | None = None) -> Array:
     """NHWC in/out; H-major (N, H, C, W) compute layout. Semantics identical
-    to ``correlation_pallas`` / ``correlation_xla``."""
+    to ``correlation_pallas`` / ``correlation_xla``; ``leaky`` fuses a
+    LeakyReLU(leaky) epilogue into the kernel."""
     f1c = f1.transpose(0, 1, 3, 2)
     f2c = f2.transpose(0, 1, 3, 2)
-    return _hm_fwd_call(f1c, f2c, md, interpret).transpose(0, 2, 3, 1)
+    return _hm_fwd_call(f1c, f2c, md, interpret, leaky).transpose(0, 2, 3, 1)
 
 
-def _cm_fwd(f1, f2, md, interpret):
-    return correlation_pallas_cmajor(f1, f2, md, interpret), (f1, f2)
+def _cm_fwd(f1, f2, md, interpret, leaky):
+    out = correlation_pallas_cmajor(f1, f2, md, interpret, leaky)
+    return out, (f1, f2, out if leaky is not None else None)
 
 
-def _cm_bwd(md, interpret, res, g):
-    f1, f2 = res
+def _cm_bwd(md, interpret, leaky, res, g):
+    f1, f2, out = res
+    if leaky is not None:
+        g = jnp.where(out >= 0, g, leaky * g)
     n, h, w, c = f1.shape
     d = 2 * md + 1
     th = _h_tile_hm(h)
@@ -319,18 +342,22 @@ def _cm_bwd(md, interpret, res, g):
 correlation_pallas_cmajor.defvjp(_cm_fwd, _cm_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def correlation_pallas(f1: Array, f2: Array, md: int = 4,
-                       interpret: bool = False) -> Array:
-    return _corr_fwd_call(f1, f2, md, interpret)
+                       interpret: bool = False,
+                       leaky: float | None = None) -> Array:
+    return _corr_fwd_call(f1, f2, md, interpret, leaky)
 
 
-def _corr_fwd(f1, f2, md, interpret):
-    return _corr_fwd_call(f1, f2, md, interpret), (f1, f2)
+def _corr_fwd(f1, f2, md, interpret, leaky):
+    out = _corr_fwd_call(f1, f2, md, interpret, leaky)
+    return out, (f1, f2, out if leaky is not None else None)
 
 
-def _corr_bwd(md, interpret, res, g):
-    f1, f2 = res
+def _corr_bwd(md, interpret, leaky, res, g):
+    f1, f2, out = res
+    if leaky is not None:
+        g = jnp.where(out >= 0, g, leaky * g)
     n, h, w, c = f1.shape
     d = 2 * md + 1
     th = _h_tile(h)

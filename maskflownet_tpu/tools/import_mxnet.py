@@ -40,14 +40,30 @@ Two layers:
      transpose(2,3,0,1) + flip(kh,kw).
    * biases: unchanged.
 
-Forward-parity caveat (documented, not silently ignored): the reference
-feeds MXNet's deformable conv offsets as ``F.repeat(flow, 9, axis=1)``
-(``MaskFlownet.py:230`` et al.). MXNet's offset layout interleaves per-tap
-(y, x) pairs, so that repeat actually gives taps 0-3 the offset (dy, dy),
-the center tap (dy, dx) and taps 5-8 (dx, dx). This framework uses the
-clean rigid-window semantics ((dy, dx) at every tap) for its own training;
-bit-exact replication of pretrained-deform sampling therefore requires
-``ModelConfig(strict_offset_compat=True)`` (see ``ops.deform``).
+Forward parity (proven, tests/test_parity_oracle.py): the reference builds
+deform offsets as ``F.repeat(F.expand_dims(flow, axis=1), 9, axis=1)
+.reshape((0,-3,-2))`` (``MaskFlownet.py:230`` et al.) — the (dy, dx) *pair*
+tiled 9 times, which is exactly MXNet's per-tap interleaved (y, x) offset
+layout. Every tap therefore receives the clean (dy, dx) offset, so this
+framework's native rigid-window deform semantics ARE the reference
+semantics; imported checkpoints need no compat mode. (An earlier round
+hypothesized an interleaving quirk — that misread the expression by
+dropping the expand_dims/reshape pair; the oracle test settles it
+numerically.)
+
+Channel-order caveat (real, dataset-dependent): the reference decodes
+KITTI/HD1K/Things3D frames with cv2 => **BGR** (``reader/kitti.py:54-56``,
+``reader/hd1k.py``, ``main.py:297``) but FlyingChairs (own PPM codec) and
+Sintel (skimage, ``reader/sintel.py:76``) => **RGB**. This framework is
+RGB-only (``data/codecs.py``). First-layer conv weights are channel-order
+sensitive, so importing a checkpoint whose *training* data was BGR for use
+on RGB inputs should pass ``input_channel_order='bgr'`` (CLI
+``--input_channel_order bgr``), which reverses the image input channels of
+``conv1a`` (both networks) and the cascade's ``conv1x`` (first 3 of its 4
+input channels). Checkpoints fine-tuned on *mixed* RGB+BGR batches (e.g.
+``sintel_kitti2015_hd1k``) saw inconsistent channel order in the reference
+itself; for those the flag choice is a wash — prefer whichever matches the
+dominant mixture component.
 """
 
 from __future__ import annotations
@@ -205,6 +221,23 @@ def convert_params(mx_params: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
     return out
 
 
+def permute_input_channels(params: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """Reverse the image input channels of the first pyramid convs so a
+    BGR-trained checkpoint computes the same function on RGB inputs (see
+    module docstring). Affects ``conv1a/w`` (3-channel image input, both the
+    standalone S network and the cascade's head scope) and the cascade's
+    ``conv1x/w`` (4-channel input: image channels 0-2 reversed, the mask
+    channel 3 untouched)."""
+    out = dict(params)
+    for key, arr in params.items():
+        block = key.split("/")[-2]
+        if key.endswith("/w") and block in ("conv1a", "conv1x"):
+            w = arr.copy()                       # (kh, kw, cin, cout)
+            w[:, :, 0:3] = arr[:, :, 2::-1]
+            out[key] = w
+    return out
+
+
 def expected_param_shapes(network: str, deform_bias: bool = True):
     """Shape-infer the framework model's parameter tree (no FLOPs)."""
     import jax
@@ -226,13 +259,20 @@ def expected_param_shapes(network: str, deform_bias: bool = True):
 
 
 def import_checkpoint(params_path: str, network: str = "MaskFlownet_S",
-                      strict: bool = True) -> dict[str, np.ndarray]:
+                      strict: bool = True,
+                      input_channel_order: str = "rgb") -> dict[str, np.ndarray]:
     """Read + convert + validate an MXNet checkpoint against ``network``.
 
     Returns the framework param dict. ``strict`` requires exact coverage:
     every model parameter present, no unknown leftovers, shapes equal.
+    ``input_channel_order='bgr'`` adapts a BGR-trained checkpoint to RGB
+    inputs (see module docstring).
     """
     converted = convert_params(read_mxnet_params(params_path))
+    if input_channel_order == "bgr":
+        converted = permute_input_channels(converted)
+    elif input_channel_order != "rgb":
+        raise ValueError(f"input_channel_order {input_channel_order!r}")
     expected = expected_param_shapes(network)
     missing = sorted(set(expected) - set(converted))
     extra = sorted(set(converted) - set(expected))
@@ -273,9 +313,16 @@ def main(argv=None):
     p.add_argument("--step", type=int, default=0)
     p.add_argument("--lenient", action="store_true",
                    help="allow partial coverage (still converts layouts)")
+    p.add_argument("--input_channel_order", default="rgb",
+                   choices=["rgb", "bgr"],
+                   help="channel order the checkpoint was trained on; 'bgr' "
+                        "permutes first-layer weights so the imported model "
+                        "takes RGB input (reference KITTI/HD1K/Things3D "
+                        "training data was cv2-BGR)")
     args = p.parse_args(argv)
     params = import_checkpoint(args.params, args.network,
-                               strict=not args.lenient)
+                               strict=not args.lenient,
+                               input_channel_order=args.input_channel_order)
     save_as_npz(params, args.out, step=args.step)
     print(f"wrote {len(params)} params to {args.out}")
     return 0

@@ -192,3 +192,37 @@ def test_host_geometry_matches_device_distributions():
     assert abs(np.mean(np.abs(fa_h)) - np.mean(np.abs(fa_d))) < 0.6, (
         np.mean(np.abs(fa_h)), np.mean(np.abs(fa_d)))
     assert abs(ma_h.mean() - ma_d.mean()) < 0.05
+
+
+def test_geometry_pallas_sampler_matches_xla(monkeypatch):
+    """The windowed Pallas sampler path (MFN_AUG_SAMPLER=pallas; the TPU
+    default inside the jitted step) must reproduce the XLA gather path.
+    Image channels are sampled in bf16 (~0.4% tolerance); mask and flow ride
+    the precise (hi/lo split) channels and must match to ~1e-4 px."""
+    import os
+    from maskflownet_tpu.augment.geometry import geometry_augmentation
+
+    rng = np.random.RandomState(11)
+    b, oh, ow, th, tw = 2, 48, 64, 40, 48
+    cfg = GeometryAugConfig(target_shape=(th, tw), orig_shape=(oh, ow))
+    img1 = jnp.asarray(rng.rand(b, oh, ow, 3).astype(np.float32))
+    img2 = jnp.asarray(rng.rand(b, oh, ow, 3).astype(np.float32))
+    flow = jnp.asarray((rng.randn(b, oh, ow, 2) * 3).astype(np.float32))
+    mask = jnp.ones((b, oh, ow, 1), jnp.float32)
+    key = jax.random.PRNGKey(4)
+
+    monkeypatch.setenv("MFN_AUG_SAMPLER", "xla")
+    ref = geometry_augmentation(key, img1, img2, flow, mask, cfg)
+    monkeypatch.setenv("MFN_AUG_SAMPLER", "pallas")
+    got = geometry_augmentation(key, img1, img2, flow, mask, cfg)
+
+    for name, r, g, tol in (("img1", ref[0], got[0], 6e-3),
+                            ("img2", ref[1], got[1], 6e-3),
+                            ("mask", ref[3], got[3], 1e-4)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=tol,
+                                   err_msg=name)
+    # flow: compare where the mask is solidly interior (the renormalization
+    # divides by the sampled mask, amplifying nothing where mask ~ 1)
+    m = np.asarray(ref[3])[..., 0] > 0.99
+    err = np.abs(np.asarray(got[2]) - np.asarray(ref[2]))[m]
+    assert err.max() < 1e-3, err.max()

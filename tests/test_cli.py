@@ -44,7 +44,7 @@ def chairs_env(tmp_path, monkeypatch):
     return str(net_yaml), str(ds_yaml), str(root)
 
 
-@pytest.mark.slow
+@pytest.mark.xslow
 def test_cli_debug_training_end_to_end(chairs_env):
     net_yaml, ds_yaml, root = chairs_env
     from maskflownet_tpu.cli.main import main
@@ -62,7 +62,7 @@ def test_cli_debug_training_end_to_end(chairs_env):
     assert "chairs" in text  # validation ran
 
 
-@pytest.mark.slow
+@pytest.mark.xslow
 def test_cli_resume_from_checkpoint(chairs_env):
     """-c RUNID resumes: finds the log + latest checkpoint by regex
     (non-debug run: resume resolution reads logs/, like the reference)."""

@@ -93,7 +93,7 @@ def mixed_env(tmp_path, monkeypatch):
     return str(net_yaml), str(ds_yaml), str(root)
 
 
-@pytest.mark.slow
+@pytest.mark.xslow
 def test_cli_sintel_mixed_training(mixed_env):
     net_yaml, ds_yaml, root = mixed_env
     from maskflownet_tpu.cli.main import main

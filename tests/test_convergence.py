@@ -91,3 +91,41 @@ def test_learns_flow_on_mesh():
 
     epe1 = tr.validate(i1s, i2s, fls, vas, batch_size=b)
     assert epe1 < 0.5 * epe0, (epe0, epe1)
+
+
+def test_occluded_pair_labels():
+    """Occluded-pair ground truth: (a) non-occluded valid pixels satisfy
+    img1(p) == img2(p + F(p)); (b) occluded pixels do NOT (their target is
+    covered by another surface -- the very thing the learned mask must
+    discover); (c) occlusion fraction is non-trivial; (d) displacements
+    reach the large-motion regime."""
+    from maskflownet_tpu.data.synthetic import make_occluded_pair
+    rng = np.random.RandomState(3)
+    h, w = 96, 128
+    occ_fracs, errs_vis, errs_occ, max_disp = [], [], [], 0.0
+    for _ in range(4):
+        img1, img2, flow, valid, occ = make_occluded_pair(rng, h, w)
+        py, px = np.mgrid[0:h, 0:w].astype(np.float32)
+        ys = np.clip(py + flow[..., 0], 0, h - 1.001)
+        xs = np.clip(px + flow[..., 1], 0, w - 1.001)
+        y0 = np.floor(ys).astype(np.int32)
+        x0 = np.floor(xs).astype(np.int32)
+        ay = (ys - y0)[..., None]
+        ax = (xs - x0)[..., None]
+        resamp = ((1 - ay) * (1 - ax) * img2[y0, x0]
+                  + (1 - ay) * ax * img2[y0, x0 + 1]
+                  + ay * (1 - ax) * img2[y0 + 1, x0]
+                  + ay * ax * img2[y0 + 1, x0 + 1])
+        err = np.abs(resamp - img1).mean(axis=-1)
+        vis = (valid[..., 0] > 0) & (occ[..., 0] == 0)
+        occ_m = occ[..., 0] > 0
+        occ_fracs.append(occ_m.mean())
+        errs_vis.append(err[vis].mean())
+        if occ_m.any():
+            errs_occ.append(err[occ_m].mean())
+        max_disp = max(max_disp, np.abs(flow[valid[..., 0] > 0]).max())
+    assert np.mean(errs_vis) < 0.06, errs_vis
+    assert 0.005 < np.mean(occ_fracs) < 0.5, occ_fracs
+    # occluded pixels' photometric error is much larger than visible ones
+    assert np.mean(errs_occ) > 3 * np.mean(errs_vis), (errs_occ, errs_vis)
+    assert max_disp > 0.1 * min(h, w), max_disp

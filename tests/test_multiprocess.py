@@ -131,3 +131,118 @@ def test_two_process_data_parallel(tmp_path):
         assert abs(float(lines[0]) - want_mean) < 1e-5
         got_p = np.array([float(v) for v in lines[1].split(",")])
         np.testing.assert_allclose(got_p, want_p, rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Real-model 2-process data parallelism (VERDICT r2 #4): the actual compiled
+# MaskFlownet_S train step (Trainer.train_batch) crossing a process boundary,
+# asserting loss/param agreement with a 1-process 2-device run (the reference
+# bar: multi-device train_batch, pipeline.py:89-115).
+# ---------------------------------------------------------------------------
+
+_MODEL_WORKER = r"""
+import os, sys
+ndev_local = sys.argv[5]
+os.environ["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={ndev_local}"
+os.environ["JAX_PLATFORMS"] = "cpu"
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+coord, pid, outdir, repo = sys.argv[1], int(sys.argv[2]), sys.argv[3], sys.argv[4]
+nproc = int(sys.argv[6])
+sys.path.insert(0, repo)
+# share the repo-wide persistent compile cache (tests/conftest.py) so
+# repeated runs of this worker skip the multi-minute train-step compile
+jax.config.update("jax_compilation_cache_dir", os.path.join(repo, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+from maskflownet_tpu.parallel.mesh import initialize_distributed, make_mesh
+initialize_distributed(coord, nproc, pid)
+assert jax.device_count() == 2, jax.device_count()
+
+from maskflownet_tpu.training import Trainer, TrainSettings
+
+settings = TrainSettings(model="MaskFlownet_S", compute_dtype="float32",
+                         target_shape=(64, 64), orig_shape=(64, 64),
+                         geo=None, color=None)
+trainer = Trainer(settings, mesh=make_mesh(), seed=0)
+
+rng = np.random.RandomState(0)
+img1 = rng.randint(0, 255, (2, 64, 64, 3)).astype(np.uint8)
+img2 = rng.randint(0, 255, (2, 64, 64, 3)).astype(np.uint8)
+flow = (rng.randn(2, 64, 64, 2) * 2).astype(np.float32)
+
+per = 2 // nproc            # local samples this process contributes
+lo = pid * per
+losses = []
+for _ in range(3):
+    m = trainer.train_batch(img1[lo:lo + per], img2[lo:lo + per],
+                            flow[lo:lo + per], lr=1e-4, sync=True)
+    losses.append(m["loss"])
+
+def host(a):
+    a = np.asarray(a.addressable_data(0)) if hasattr(a, "addressable_data") \
+        else np.asarray(a)
+    return a
+
+lines = [" ".join(f"{l:.8e}" for l in losses)]
+for k in sorted(trainer.params):
+    p = host(trainer.params[k]).astype(np.float64)
+    lines.append(f"{k} {p.sum():.8e} {np.abs(p).sum():.8e}")
+with open(os.path.join(outdir, f"model_{nproc}_{pid}.txt"), "w") as fp:
+    fp.write("\n".join(lines))
+"""
+
+
+@pytest.mark.xslow
+def test_two_process_real_model_step(tmp_path):
+    """MaskFlownet_S Trainer.train_batch across 2 processes == the same 3
+    steps on a 1-process 2-device mesh (loss trace + full param agreement)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = tmp_path / "model_worker.py"
+    worker.write_text(_MODEL_WORKER)
+    coord = f"127.0.0.1:{_free_port()}"
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    # two distributed workers (1 local device each) + one single-process
+    # 2-device reference, all concurrently (the reference needs no coord)
+    specs = [(coord, 0, "1", 2), (coord, 1, "1", 2), ("none", 0, "2", 1)]
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker), c, str(pid), str(tmp_path), repo,
+         ndev, str(nproc)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for c, pid, ndev, nproc in specs]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=560)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+        outs.append(out.decode(errors="replace"))
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-3000:]
+
+    def read(path):
+        lines = path.read_text().splitlines()
+        losses = [float(v) for v in lines[0].split()]
+        params = {}
+        for ln in lines[1:]:
+            k, s, a = ln.split()
+            params[k] = (float(s), float(a))
+        return losses, params
+
+    l0, p0 = read(tmp_path / "model_2_0.txt")
+    l1, p1 = read(tmp_path / "model_2_1.txt")
+    lr, pr = read(tmp_path / "model_1_0.txt")
+    # both distributed processes observed identical (replicated) state
+    np.testing.assert_allclose(l0, l1, rtol=1e-6)
+    assert p0 == p1
+    # and it matches the single-process 2-device reference run
+    np.testing.assert_allclose(l0, lr, rtol=2e-5)
+    assert set(p0) == set(pr)
+    for k in p0:
+        np.testing.assert_allclose(p0[k], pr[k], rtol=2e-5, atol=1e-6,
+                                   err_msg=k)

@@ -146,64 +146,6 @@ def test_deform_pallas_grads_match_gather():
                                    rtol=2e-3, atol=2e-3, err_msg=name)
 
 
-def _naive_compat_deform(x, flow, wgt):
-    """Direct numpy loop implementing the MXNet repeat-layout quirk:
-    per-tap offsets (dy,dy)x4, (dy,dx), (dx,dx)x4; zero OOB bilinear."""
-    n, h, w, cin = x.shape
-    cout = wgt.shape[-1]
-    out = np.zeros((n, h, w, cout), np.float32)
-
-    def sample(b, sy, sx):
-        if sy <= -1 or sy >= h or sx <= -1 or sx >= w:
-            return np.zeros(cin, np.float32)
-        y0, x0 = int(np.floor(sy)), int(np.floor(sx))
-        fy, fx = sy - y0, sx - x0
-        acc = np.zeros(cin, np.float32)
-        for (yy, xx, wgt_) in ((y0, x0, (1 - fy) * (1 - fx)),
-                               (y0, x0 + 1, (1 - fy) * fx),
-                               (y0 + 1, x0, fy * (1 - fx)),
-                               (y0 + 1, x0 + 1, fy * fx)):
-            if 0 <= yy < h and 0 <= xx < w:
-                acc += wgt_ * x[b, yy, xx]
-        return acc
-
-    for b in range(n):
-        for y in range(h):
-            for xx_ in range(w):
-                dy, dx = flow[b, y, xx_]
-                for k in range(9):
-                    ky, kx = k // 3 - 1, k % 3 - 1
-                    oy, ox = ((dy, dy) if k < 4 else
-                              (dy, dx) if k == 4 else (dx, dx))
-                    v = sample(b, y + oy + ky, xx_ + ox + kx)
-                    out[b, y, xx_] += v @ wgt[ky + 1, kx + 1]
-    return out
-
-
-def test_deform_offset_compat_matches_naive():
-    from maskflownet_tpu.ops.deform import flow_guided_deform_conv3x3
-    n, h, w, cin, cout = 1, 6, 7, 4, 5
-    x = rng.randn(n, h, w, cin).astype(np.float32)
-    flow = (rng.randn(n, h, w, 2) * 2.0).astype(np.float32)
-    wgt = (rng.randn(3, 3, cin, cout) * 0.3).astype(np.float32)
-    want = _naive_compat_deform(x, flow, wgt)
-    got = np.asarray(flow_guided_deform_conv3x3(
-        jnp.asarray(x), jnp.asarray(flow), jnp.asarray(wgt),
-        offset_compat=True))
-    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
-
-
-def test_deform_offset_compat_reduces_to_rigid_when_dy_eq_dx():
-    """When dy == dx everywhere the quirk is invisible: compat == rigid."""
-    from maskflownet_tpu.ops.deform import flow_guided_deform_conv3x3
-    x = jnp.asarray(rng.randn(2, 8, 10, 8).astype(np.float32))
-    d = (rng.randn(2, 8, 10, 1) * 2.0).astype(np.float32)
-    flow = jnp.asarray(np.concatenate([d, d], axis=-1))
-    wgt = jnp.asarray((rng.randn(3, 3, 8, 6) * 0.3).astype(np.float32))
-    a = np.asarray(flow_guided_deform_conv3x3(x, flow, wgt, method="gather"))
-    b = np.asarray(flow_guided_deform_conv3x3(x, flow, wgt,
-                                              offset_compat=True))
-    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
 
 
 def test_deform_pallas_bf16():
@@ -214,3 +156,31 @@ def test_deform_pallas_bf16():
     want = np.asarray(_deform_ref(x, flow, wgt)).astype(np.float32)
     got = np.asarray(deform_conv3x3_pallas(x, flow, wgt, True)).astype(np.float32)
     np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-2)
+
+
+@pytest.mark.parametrize("fn", [correlation_pallas, correlation_pallas_cmajor])
+@pytest.mark.parametrize("md", [2, 4])
+def test_correlation_fused_leaky_matches_xla(fn, md):
+    """leaky=0.1 fused epilogue == LeakyReLU(correlation_xla), values+grads."""
+    f1 = jnp.asarray(rng.randn(1, 8, 10, 8).astype(np.float32))
+    f2 = jnp.asarray(rng.randn(1, 8, 10, 8).astype(np.float32))
+    tgt = jnp.asarray(rng.randn(1, 8, 10, (2 * md + 1) ** 2).astype(np.float32))
+
+    def loss_p(a, b):
+        return jnp.sum((fn(a, b, md, True, 0.1) - tgt) ** 2)
+
+    def loss_x(a, b):
+        c = correlation_xla(a, b, md)
+        return jnp.sum((jnp.where(c >= 0, c, 0.1 * c) - tgt) ** 2)
+
+    np.testing.assert_allclose(
+        np.asarray(fn(f1, f2, md, True, 0.1)),
+        np.asarray(jnp.where(correlation_xla(f1, f2, md) >= 0,
+                             correlation_xla(f1, f2, md),
+                             0.1 * correlation_xla(f1, f2, md))),
+        rtol=1e-5, atol=1e-5)
+    gp = jax.grad(loss_p, argnums=(0, 1))(f1, f2)
+    gx = jax.grad(loss_x, argnums=(0, 1))(f1, f2)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)

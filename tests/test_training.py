@@ -209,3 +209,52 @@ def test_train_batch_with_mask(trainer):
     mask[:, :10] = 0
     m = trainer.train_batch(img1, img2, flow, mask, lr=1e-4)
     assert np.isfinite(float(m["loss"])) and np.isfinite(float(m["epe"]))
+
+
+def test_infer_bucket_guard_warns():
+    """The inference shape-bucket cache warns once it holds 8 compiled
+    programs and a new (shape, resize) bucket arrives (W6): per-frame native
+    shapes would otherwise silently recompile per image."""
+    import warnings
+
+    tr = Trainer(_settings(geo=None, color=None,
+                           target_shape=(64, 64), orig_shape=(64, 64)),
+                 mesh=make_mesh())
+    # _infer_fn only *builds* the jitted callable (tracing/compilation is
+    # lazy on first call), so filling buckets is cheap
+    for i in range(8):
+        tr._infer_fn((64 + i, 64), None)
+    assert len(tr._infer_cache) == 8
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        tr._infer_fn((200, 64), None)
+    assert any("shape-bucket" in str(w.message) for w in caught), \
+        [str(w.message) for w in caught]
+
+
+@pytest.mark.slow
+def test_mixed_shape_validation_two_buckets(trainer):
+    """A mixed Sintel+KITTI-style validation pass (two native shapes, as the
+    reference validates 436x1024 Sintel then 370x1224 KITTI, main.py:163-184)
+    compiles exactly one program per dataset shape -- no silent per-image
+    recompiles -- and each dataset's outputs come back at its own native
+    resolution with the x64 working-resolution round trip applied."""
+    rng = np.random.RandomState(5)
+    before = len(trainer._infer_cache)
+
+    def fake(shape, n):
+        i1 = [rng.randint(0, 255, shape + (3,), dtype=np.uint8) for _ in range(n)]
+        i2 = [rng.randint(0, 255, shape + (3,), dtype=np.uint8) for _ in range(n)]
+        fl = [rng.randn(*shape, 2).astype(np.float32) for _ in range(n)]
+        return i1, i2, fl
+
+    s1, s2 = (70, 90), (54, 120)     # stand-ins for 436x1024 / 370x1224
+    for shape in (s1, s2):
+        i1, i2, fl = fake(shape, 3)
+        epe = trainer.validate(i1, i2, fl, batch_size=2)
+        assert np.isfinite(epe) and epe > 0
+        flow, occ, warped = next(trainer.predict(i1, i2, batch_size=2))
+        assert flow.shape == shape + (2,)
+    # one bucket per dataset shape (predict/validate share buckets)
+    new = len(trainer._infer_cache) - before
+    assert new <= 2, trainer._infer_cache.keys()
