@@ -50,6 +50,22 @@ def main(argv=None):
                         "host->device transfer of every batch.")
     p.add_argument("--model", type=str, default="MaskFlownet_S",
                    choices=("MaskFlownet_S", "MaskFlownet"))
+    p.add_argument("--task", type=str, default="affine",
+                   choices=("affine", "occlusion"),
+                   help="'affine': global-affine pairs (round-2 curriculum)."
+                        " 'occlusion': pairs with independently-moving "
+                        "foreground objects -- real occlusion GT + large "
+                        "displacements; trains WITHOUT occlusion supervision"
+                        " and reports occlusion-AUC of the learned mask "
+                        "(the paper's core claim, MaskFlownet.py:230-233)")
+    p.add_argument("--aug", type=str, default="host",
+                   choices=("host", "device"),
+                   help="geometry-augmentation placement; 'device' runs "
+                        "crop+affine inside the jitted step (echoed cached "
+                        "batches then get fresh geometry every step)")
+    p.add_argument("--viz", type=str, default=None,
+                   help="write a mask-visualization PNG (img1 | GT occ | "
+                        "learned mask) for the first validation pairs")
     p.add_argument("--load_head", type=str, default=None,
                    help="bootstrap the cascade head from a MaskFlownet_S "
                         "checkpoint (reference main.py:129-139 flow); "
@@ -73,7 +89,8 @@ def main(argv=None):
     from maskflownet_tpu.augment.host_geometry import batch_host_geometry
     from maskflownet_tpu.config import presets
     from maskflownet_tpu.data import DeviceBatchCache, Dataset, TrainLoader
-    from maskflownet_tpu.data.synthetic import make_dataset
+    from maskflownet_tpu.data.synthetic import (make_dataset,
+                                                make_occluded_dataset)
     from maskflownet_tpu.models import ModelConfig
     from maskflownet_tpu.parallel import DevicePrefetcher
     from maskflownet_tpu.training import Trainer, TrainSettings
@@ -81,20 +98,30 @@ def main(argv=None):
     th, tw = (int(s) for s in args.target.split(","))
     oh, ow = (int(s) for s in args.orig.split(","))
 
-    print(f"generating {args.train_pairs}+{args.val_pairs} pairs "
+    print(f"generating {args.train_pairs}+{args.val_pairs} {args.task} pairs "
           f"at {oh}x{ow}...", flush=True)
     t0 = time.time()
-    tr_cols = make_dataset(np.random.RandomState(0), args.train_pairs, oh, ow)
-    v1, v2, vf, vv = make_dataset(np.random.RandomState(10**6),
-                                  args.val_pairs, th, tw)
+    v_occ = None
+    if args.task == "occlusion":
+        tr_cols = make_occluded_dataset(np.random.RandomState(0),
+                                        args.train_pairs, oh, ow)[:4]
+        v1, v2, vf, vv, v_occ = make_occluded_dataset(
+            np.random.RandomState(10**6), args.val_pairs, th, tw)
+    else:
+        tr_cols = make_dataset(np.random.RandomState(0), args.train_pairs,
+                               oh, ow)
+        v1, v2, vf, vv = make_dataset(np.random.RandomState(10**6),
+                                      args.val_pairs, th, tw)
     print(f"generated in {time.time() - t0:.0f}s", flush=True)
 
+    geo_cfg = presets.geometry_aug_config("chairs", (th, tw), (oh, ow))
     fix_head = bool(args.load_head) and not args.no_fix_head
     settings = TrainSettings(
         model=args.model, model_cfg=ModelConfig(), q=args.q,
         fix_head=fix_head,
         compute_dtype=args.compute_dtype, target_shape=(th, tw),
-        orig_shape=(oh, ow), geo=None,
+        orig_shape=(oh, ow),
+        geo=geo_cfg if args.aug == "device" else None,
         color=presets.color_aug_config("chairs"))
     trainer = Trainer(settings)
     if args.load_head:
@@ -104,7 +131,6 @@ def main(argv=None):
 
     loader = TrainLoader([Dataset(tr_cols)] * args.batch, args.batch,
                          (oh, ow), seed=1)
-    geo_cfg = presets.geometry_aug_config("chairs", (th, tw), (oh, ow))
     aug_rng = np.random.RandomState(1234)
 
     def host_aug(batch):
@@ -118,27 +144,69 @@ def main(argv=None):
                 fl.astype(np.float16),
                 np.clip(mk * 255 + 0.5, 0, 255).astype(np.uint8))
 
+    def raw(batch):          # device aug: ship raw orig-shape batches
+        img1, img2, flow, mask = batch
+        return (img1, img2, flow.astype(np.float16), mask)
+
+    transform = raw if args.aug == "device" else host_aug
     if args.input == "cache":
-        prefetch = DeviceBatchCache(lambda: host_aug(loader.get()),
+        prefetch = DeviceBatchCache(lambda: transform(loader.get()),
                                     trainer.mesh, slots=8)
     else:
         prefetch = DevicePrefetcher(loader.get, trainer.mesh, depth=2,
-                                    transform=host_aug)
+                                    transform=transform)
+
+    def occlusion_auc():
+        """AUC of (1 - learned mask) as a classifier for GT occlusion,
+        pooled over the validation set's in-frame pixels."""
+        pos, neg = [], []
+        b = args.batch
+        for j in range(0, len(v1), b):
+            i1 = np.stack(v1[j:j + b]).astype(np.float32) / 255.0
+            i2 = np.stack(v2[j:j + b]).astype(np.float32) / 255.0
+            k = i1.shape[0]
+            if k < b:
+                pad = b - k
+                i1 = np.concatenate([i1, np.repeat(i1[-1:], pad, 0)])
+                i2 = np.concatenate([i2, np.repeat(i2[-1:], pad, 0)])
+            _, occ_pred, _ = trainer.do_batch(i1, i2)
+            for t in range(k):
+                score = 1.0 - occ_pred[t, ..., 0]
+                gt = v_occ[j + t][..., 0] > 0
+                va = vv[j + t][..., 0] > 0
+                pos.append(score[gt & va])
+                neg.append(score[~gt & va])
+        pos = np.concatenate(pos)
+        neg = np.sort(np.concatenate(neg))
+        if len(pos) == 0 or len(neg) == 0:
+            return float("nan")
+        lo = np.searchsorted(neg, pos, side="left")
+        hi = np.searchsorted(neg, pos, side="right")
+        return float((lo + 0.5 * (hi - lo)).sum() / (len(pos) * len(neg)))
 
     def evaluate():
         return trainer.validate(v1, v2, vf, vv, batch_size=args.batch)
 
     curve = []
+    auc_curve = []
 
     def checkpoint_curve():
         # incremental artifact: survive timeouts/kills with a usable curve
         with open(args.out + ".partial", "w") as fp:
-            json.dump({"curve": curve}, fp)
+            json.dump({"curve": curve, "auc_curve": auc_curve}, fp)
 
-    epe0 = evaluate()
-    curve.append([0, round(float(epe0), 4)])
-    checkpoint_curve()
-    print(f"step 0: epe {epe0:.3f}", flush=True)
+    def eval_point(step):
+        epe = evaluate()
+        curve.append([step, round(float(epe), 4)])
+        msg = f"step {step}: epe {epe:.3f}"
+        if v_occ is not None:
+            auc = occlusion_auc()
+            auc_curve.append([step, round(auc, 4)])
+            msg += f" occ_auc {auc:.3f}"
+        checkpoint_curve()
+        return msg
+
+    print(eval_point(0), flush=True)
 
     t_train0 = time.time()
     t_spent_eval = 0.0
@@ -146,13 +214,30 @@ def main(argv=None):
         m = trainer.train_batch_device(prefetch.get(), lr=args.lr)
         if step % args.eval_every == 0 or step == args.steps:
             te = time.time()
-            epe = evaluate()
+            msg = eval_point(step)
             t_spent_eval += time.time() - te
-            curve.append([step, round(float(epe), 4)])
-            checkpoint_curve()
-            print(f"step {step}: epe {epe:.3f} loss {float(m['loss']):.4f} "
+            print(f"{msg} loss {float(m['loss']):.4f} "
                   f"({time.time() - t_train0:.0f}s)", flush=True)
     prefetch.stop()
+
+    if args.viz and v_occ is not None:
+        import cv2
+        rows = []
+        for t in range(min(3, len(v1))):
+            i1 = np.stack([v1[t]]).astype(np.float32) / 255.0
+            i2 = np.stack([v2[t]]).astype(np.float32) / 255.0
+            _, occ_pred, _ = trainer.do_batch(
+                np.repeat(i1, args.batch, 0), np.repeat(i2, args.batch, 0))
+            learned = 1.0 - occ_pred[0, ..., 0]   # 1 = predicted occluded
+            gt = (v_occ[t][..., 0] > 0).astype(np.float32)
+            panel = np.concatenate([
+                v1[t][..., ::-1].astype(np.uint8),                # BGR for cv2
+                np.repeat((gt * 255).astype(np.uint8)[..., None], 3, -1),
+                np.repeat((np.clip(learned, 0, 1) * 255
+                           ).astype(np.uint8)[..., None], 3, -1)], axis=1)
+            rows.append(panel)
+        cv2.imwrite(args.viz, np.concatenate(rows, axis=0))
+        print(f"mask visualization -> {args.viz}", flush=True)
     if args.save:
         trainer.save(args.save)
         print(f"saved checkpoint to {args.save}.npz", flush=True)
@@ -161,7 +246,9 @@ def main(argv=None):
     sps = args.steps * args.batch / train_s
     final = curve[-1][1]
     out = {
-        "task": "synthetic_affine_flow",
+        "task": ("synthetic_occluded_flow" if args.task == "occlusion"
+                 else "synthetic_affine_flow"),
+        "aug_placement": args.aug,
         "model": args.model,
         "fix_head": fix_head,
         "q": args.q,
@@ -184,6 +271,10 @@ def main(argv=None):
         "passed": bool(final < args.bound),
         "train_samples_per_s": round(sps, 1),
     }
+    if auc_curve:
+        out["auc_curve"] = auc_curve
+        out["occ_auc0"] = auc_curve[0][1]
+        out["final_occ_auc"] = auc_curve[-1][1]
     with open(args.out, "w") as fp:
         json.dump(out, fp, indent=1)
     print(json.dumps({k: out[k] for k in
