@@ -34,3 +34,20 @@ def chain(o, s):
 t_g = time_loop(lambda s: chain(backwarp_coords(img, s, sx, method="gather"), s), sy)
 t_p = time_loop(lambda s: chain(windowed_sample(img, s, sx, window=(56, 136), precise_ch=3), s), sy)
 print(f"gather {t_g:7.2f} ms   pallas windowed {t_p:7.2f} ms")
+
+# ---- two-pass (Catmull-Smith LU) dense resampler at the same maps ----
+from maskflownet_tpu.ops.affine2pass import affine_sample_twopass
+mm = np.zeros((n, 2, 2), np.float32)
+tt = np.zeros((n, 2), np.float32)
+for i in range(n):
+    s = (i % 2) * 2 - 1
+    mm[i] = [[1.1, -0.3 * s], [0.35 * s, 1.15]]
+    tt[i] = [3.0, 5.0]
+mm = jnp.asarray(mm); tt = jnp.asarray(tt)
+out2 = jax.jit(lambda im, m_, t_: affine_sample_twopass(
+    im, m_, t_, ho, wo, sx_max=1.35, sy_max=1.2))(img, mm, tt)
+err2 = np.abs(np.asarray(out2) - np.asarray(ref))[:, 3:-3, 3:-3]
+print("twopass interior maxerr:", err2.max(), "mean:", err2.mean())
+t_2 = time_loop(lambda m_: chain(affine_sample_twopass(
+    img, m_, tt, ho, wo, sx_max=1.35, sy_max=1.2), m_), mm)
+print(f"twopass {t_2:7.2f} ms")

@@ -55,6 +55,50 @@ def _uniform(key, lo, hi, shape=()):
     return jax.random.uniform(key, shape, jnp.float32, lo, hi)
 
 
+def _sampler_mode() -> str:
+    """Which resampler implements the two grid samplings.
+
+    'twopass' (TPU default): the dense two-pass affine resampler
+    (``ops/affine2pass.py``) — per-line slab gathers + static takes, ~100x
+    fewer gather descriptors than per-pixel formulations (measured: the
+    gather path costs ~57 ms of the chairs b8 step; the windowed Pallas
+    kernel ~48 ms; two-pass runs in the dense-op noise). 'pallas': the
+    windowed MXU kernel. 'xla': per-pixel gather (always used off-TPU —
+    CPU gathers are fast and exact). Override with MFN_AUG_SAMPLER.
+    """
+    import os
+
+    choice = os.environ.get("MFN_AUG_SAMPLER")
+    if choice in ("xla", "pallas", "twopass"):
+        return choice
+    return "twopass" if jax.default_backend() == "tpu" else "xla"
+
+
+def _twopass_bounds(cfg: "GeometryAugConfig") -> tuple[float, float]:
+    """Static per-pass scale bounds for ``affine_sample_twopass``.
+
+    The pixel-space linear part is [[s*a*cos, -s*a*sin], [s*sin, s*cos]]
+    (normalized units cancel; s = zoom * relative scale, a = aspect), so
+    the X-pass scale det/d = s*a/cos and the Y-pass scale d = s*cos are
+    bounded by the config ranges.
+    """
+    import math as _math
+
+    z = cfg.zoom_range[1]
+    a = cfg.aspect_range[1] if cfg.aspect_range else 1.0
+    r = cfg.relative_scale[1] if cfg.relative_angle is not None else 1.0
+    ang = max(abs(cfg.angle_range[0]), abs(cfg.angle_range[1]))
+    if cfg.relative_angle is not None:
+        ang *= (1.0 + cfg.relative_angle)
+    cos_min = _math.cos(min(ang * _math.pi / 180.0, 1.2))
+    sin_max = _math.sin(min(ang * _math.pi / 180.0, 1.2))
+    sx_max = z * r * a / max(cos_min, 0.3) * 1.02
+    sy_max = z * r * 1.02
+    # offset slopes: |b/d| = aspect*tan(rot) (X-pass), |c| = s*sin (Y-pass)
+    shear_max = max(a * sin_max / max(cos_min, 0.3), z * r * sin_max) * 1.05
+    return sx_max, sy_max, max(shear_max, 0.05)
+
+
 def _pick_sampler(cfg: "GeometryAugConfig", orig: tuple[int, int],
                   target: tuple[int, int]):
     """TPU path: the windowed Pallas sampler (``ops/pallas/affine.py``),
@@ -207,24 +251,8 @@ def geometry_augmentation(key: Array, img1: Array, img2: Array, flow: Array,
     g2x = g2x - ftx[:, None, None] + rel_t[:, 0, None, None]
     g2y = g2y - fty[:, None, None] + rel_t[:, 1, None, None]
 
-    # ---- joint sampling of img1 / mask / flow*mask (augmentation.py:305-314)
-    mask_b = jnp.broadcast_to(mask.astype(jnp.float32), flow.shape[:3] + (1,))
-    packed = jnp.concatenate(
-        [img1, mask_b, flow.astype(jnp.float32) * mask_b], axis=-1)
-    sampler = _pick_sampler(cfg, (oh, ow), (th, tw))
-    if sampler is not None:
-        packed = sampler(packed, g1x, g1y, precise_ch=3)
-        img2_a = sampler(img2, g2x, g2y, precise_ch=0)
-    else:
-        packed = grid_sample_normalized(packed, g1x, g1y)
-        img2_a = grid_sample_normalized(img2, g2x, g2y)
-    img1_a = packed[..., 0:3]
-    mask_a = packed[..., 3:4]
-    flow_s = packed[..., 4:6] / jnp.maximum(mask_a, 1e-8)  # (dy, dx)
-
-    # ---- induced flow-vector transform: F'(p) = T2^-1(T1 p + F~) - p ----
-    # pixel-space maps from the normalized affines actually used for sampling
-    # (x, y) order for the matrix algebra; flow channels are (dy, dx).
+    # ---- pixel-space maps of the sampling grids (x, y) order; used both
+    # for the two-pass sampler and for the flow-vector transform below
     cx_t, cy_t = tsx / 2.0, tsy / 2.0
     cx_o, cy_o = osx / 2.0, osy / 2.0
 
@@ -248,6 +276,33 @@ def geometry_augmentation(key: Array, img1: Array, img2: Array, flow: Array,
 
     m1, t1 = to_pixel(a1, ftx, fty, False)
     m2, t2 = to_pixel(a2, ftx, fty, True)
+
+    # ---- joint sampling of img1 / mask / flow*mask (augmentation.py:305-314)
+    mask_b = jnp.broadcast_to(mask.astype(jnp.float32), flow.shape[:3] + (1,))
+    packed = jnp.concatenate(
+        [img1, mask_b, flow.astype(jnp.float32) * mask_b], axis=-1)
+    mode = _sampler_mode()
+    if mode == "twopass":
+        from maskflownet_tpu.ops.affine2pass import affine_sample_twopass
+        sx_max, sy_max, shear_max = _twopass_bounds(cfg)
+        packed = affine_sample_twopass(packed, m1, t1, th, tw, sx_max=sx_max,
+                                       sy_max=sy_max, shear_max=shear_max)
+        img2_a = affine_sample_twopass(img2, m2, t2, th, tw, sx_max=sx_max,
+                                       sy_max=sy_max, shear_max=shear_max)
+    else:
+        sampler = _pick_sampler(cfg, (oh, ow), (th, tw)) \
+            if mode == "pallas" else None
+        if sampler is not None:
+            packed = sampler(packed, g1x, g1y, precise_ch=3)
+            img2_a = sampler(img2, g2x, g2y, precise_ch=0)
+        else:
+            packed = grid_sample_normalized(packed, g1x, g1y)
+            img2_a = grid_sample_normalized(img2, g2x, g2y)
+    img1_a = packed[..., 0:3]
+    mask_a = packed[..., 3:4]
+    flow_s = packed[..., 4:6] / jnp.maximum(mask_a, 1e-8)  # (dy, dx)
+
+    # ---- induced flow-vector transform: F'(p) = T2^-1(T1 p + F~) - p ----
 
     det = m2[:, 0, 0] * m2[:, 1, 1] - m2[:, 0, 1] * m2[:, 1, 0]
     inv2 = jnp.stack([

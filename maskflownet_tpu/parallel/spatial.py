@@ -10,8 +10,18 @@ reach lower to all-gathers of the (coarse, small) source levels.
 
 Intended for inference / validation at resolutions where one chip cannot
 hold the activations (e.g. the 2x-resolution multi-host stretch target in
-BASELINE.json). Constraint: H must be divisible by 64 * spatial axis size so
-every pyramid level divides evenly.
+BASELINE.json). Constraints:
+
+  * H must be divisible by 64 * spatial axis size so every pyramid level
+    divides evenly. Forward equality vs single-device is tested at H=256
+    and H=512 on the virtual 8-device mesh (tests/test_spatial.py).
+  * Gradients through the sharded forward are also validated (training-side
+    halo exchange), but require level-6 shards of >= 2 rows, i.e.
+    H >= 128 * spatial axis size: at 1-row level-6 shards the backward of
+    the md=4 correlation halo produces wrong dense-block gradients (XLA
+    SPMD edge case, probed round 3 at h=128 on a 2-way spatial mesh).
+    Large-frame training — the reason to spatially shard at all — sits far
+    above that bound.
 """
 
 from __future__ import annotations

@@ -226,3 +226,76 @@ def test_geometry_pallas_sampler_matches_xla(monkeypatch):
     m = np.asarray(ref[3])[..., 0] > 0.99
     err = np.abs(np.asarray(got[2]) - np.asarray(ref[2]))[m]
     assert err.max() < 1e-3, err.max()
+
+
+def test_geometry_twopass_sampler_matches_xla(monkeypatch):
+    """The two-pass affine resampler path (MFN_AUG_SAMPLER=twopass; the TPU
+    default) must reproduce the XLA gather path up to the documented
+    differences: a ~1px boundary band (shear-direction zero leak) and the
+    sheared-vs-axis interpolation stencil (tiny on real content, bounded on
+    noise). Compare on the interior."""
+    from maskflownet_tpu.augment.geometry import geometry_augmentation
+
+    rng = np.random.RandomState(12)
+    b, oh, ow, th, tw = 2, 48, 64, 40, 48
+    cfg = GeometryAugConfig(target_shape=(th, tw), orig_shape=(oh, ow))
+    # smooth content: the stencil difference is second-order
+    yy, xx = np.mgrid[0:oh, 0:ow].astype(np.float32)
+    base = np.stack([np.sin(yy / 7) * np.cos(xx / 9),
+                     (yy + xx) / (oh + ow),
+                     np.cos(yy / 5 + xx / 8)], axis=-1)
+    img1 = jnp.asarray(np.stack([base, base * 0.8 + 0.1]))
+    img2 = jnp.asarray(np.stack([base * 0.9, base * 0.7 + 0.2]))
+    # smooth flow: real flow fields are piecewise smooth; on white noise the
+    # sheared-vs-axis stencil difference is O(local variation) by design
+    flow = jnp.asarray(np.stack(
+        [np.stack([np.sin(yy / 8) * 2 + xx * 0.01,
+                   np.cos(xx / 9) * 1.5], axis=-1)] * b).astype(np.float32))
+    mask = jnp.ones((b, oh, ow, 1), jnp.float32)
+    key = jax.random.PRNGKey(9)
+
+    monkeypatch.setenv("MFN_AUG_SAMPLER", "xla")
+    ref = geometry_augmentation(key, img1, img2, flow, mask, cfg)
+    monkeypatch.setenv("MFN_AUG_SAMPLER", "twopass")
+    got = geometry_augmentation(key, img1, img2, flow, mask, cfg)
+
+    sl = (slice(None), slice(2, -2), slice(2, -2))
+    for name, r, g, tol in (("img1", ref[0], got[0], 5e-3),
+                            ("img2", ref[1], got[1], 5e-3),
+                            ("mask", ref[3], got[3], 5e-3)):
+        np.testing.assert_allclose(np.asarray(g)[sl], np.asarray(r)[sl],
+                                   atol=tol, err_msg=name)
+    m = (np.asarray(ref[3])[..., 0] > 0.999) & (np.asarray(got[3])[..., 0] > 0.999)
+    m[:, :2] = m[:, -2:] = False
+    m[:, :, :2] = m[:, :, -2:] = False
+    err = np.abs(np.asarray(got[2]) - np.asarray(ref[2]))[m]
+    assert err.max() < 2e-2, err.max()
+
+
+def test_geometry_twopass_consistency_property(monkeypatch):
+    """The augmentation's own correctness property (warping img2_a by flow_a
+    reproduces img1_a on valid pixels) must hold on the two-pass path too."""
+    from maskflownet_tpu.augment.geometry import geometry_augmentation
+
+    rng = np.random.RandomState(2)
+    b, oh, ow, th, tw = 2, 64, 96, 48, 64
+    cfg = GeometryAugConfig(target_shape=(th, tw), orig_shape=(oh, ow))
+    # smooth-ish texture so double resampling error stays interpretable
+    yy, xx = np.mgrid[0:oh, 0:ow].astype(np.float32)
+    tex = np.stack([np.sin(yy / 6) * np.cos(xx / 7),
+                    np.sin(yy / 11 + xx / 5),
+                    (yy * xx) / (oh * ow)], axis=-1).astype(np.float32)
+    img1 = jnp.asarray(np.stack([tex, tex[::-1]]))
+    img2 = img1  # zero flow pair: correspondence is the identity
+    flow = jnp.zeros((b, oh, ow, 2), jnp.float32)
+    mask = jnp.ones((b, oh, ow, 1), jnp.float32)
+
+    monkeypatch.setenv("MFN_AUG_SAMPLER", "twopass")
+    i1a, i2a, fla, mka = geometry_augmentation(
+        jax.random.PRNGKey(21), img1, img2, flow, mask, cfg)
+    rewarped = backwarp(i2a, fla, clamp=False)
+    m = (np.asarray(mka)[..., 0] > 0.999)
+    m[:, :3] = m[:, -3:] = False
+    m[:, :, :3] = m[:, :, -3:] = False
+    err = np.abs(np.asarray(rewarped) - np.asarray(i1a))[m]
+    assert err.mean() < 0.03, err.mean()

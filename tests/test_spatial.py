@@ -13,12 +13,13 @@ from maskflownet_tpu.parallel.spatial import (make_spatial_forward,
                                               make_spatial_mesh)
 
 
-@pytest.mark.parametrize("mesh_shape", [(1, 4), (2, 2)])
+@pytest.mark.parametrize("mesh_shape,h", [((1, 4), 256), ((2, 2), 256),
+                                          ((1, 4), 512)])
 @pytest.mark.slow
-def test_spatial_sharded_forward_matches_unsharded(mesh_shape):
+def test_spatial_sharded_forward_matches_unsharded(mesh_shape, h):
     assert jax.device_count() == 8
     cfg = ModelConfig()
-    h, w = 256, 128  # H/64 = 4 divides the spatial axis
+    w = 128  # H/64 divides the spatial axis at both tested heights
     b = 2
     im = jnp.zeros((1, h, w, 3), jnp.float32)
     params = nn.init(maskflownet_s, jax.random.PRNGKey(0), im, im, cfg)
@@ -45,3 +46,49 @@ def test_spatial_sharded_forward_matches_unsharded(mesh_shape):
                                rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(np.asarray(occ_sharded), np.asarray(occ_ref),
                                rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_spatial_sharded_gradient_matches_unsharded():
+    """Training-side halo path: gradients THROUGH the spatially-sharded
+    forward (halo exchanges in both directions) must match the single-device
+    gradients — validating that spatial sharding is usable for training, not
+    just inference."""
+    assert jax.device_count() == 8
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from maskflownet_tpu.ops import upsample
+
+    cfg = ModelConfig()
+    # H/64 = 4 rows at level 6 over 2 spatial shards = 2 rows each. The
+    # backward pass needs level-6 shards >= 2 rows: at 1-row shards (h=128
+    # on a 2-way spatial mesh) the halo-exchange transpose produces wrong
+    # dense-block gradients (XLA SPMD edge case, probed in round 3) -- the
+    # training-side constraint is H >= 128 * spatial_axis_size, documented
+    # in parallel/spatial.py.
+    h, w, b = 256, 128, 2
+    im = jnp.zeros((1, h, w, 3), jnp.float32)
+    params = nn.init(maskflownet_s, jax.random.PRNGKey(0), im, im, cfg)
+    rng = np.random.RandomState(1)
+    im1 = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32))
+    im2 = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32))
+    tgt = jnp.asarray(rng.randn(b, h, w, 2).astype(np.float32))
+
+    def loss(params, a, b_):
+        preds, _, _ = maskflownet_s(nn.apply_ctx(params), a, b_, cfg)
+        return jnp.mean((upsample(preds[-1], 4) - tgt) ** 2)
+
+    mesh = make_spatial_mesh(2, 2)
+    img_sh = NamedSharding(mesh, P("data", "spatial", None, None))
+    repl = NamedSharding(mesh, P())
+    g_sharded = jax.jit(jax.grad(loss),
+                        in_shardings=(repl, img_sh, img_sh),
+                        out_shardings=repl)(params, im1, im2)
+    g_ref = jax.jit(jax.grad(loss))(params, im1, im2)
+    for k in sorted(g_ref):
+        a = np.asarray(g_sharded[k])
+        r = np.asarray(g_ref[k])
+        # f32 reduction order differs across the sharded all-reduce; the
+        # observed noise floor is ~1% relative on isolated elements
+        np.testing.assert_allclose(a, r, rtol=3e-2,
+                                   atol=2e-3 * max(1.0, np.abs(r).max()),
+                                   err_msg=k)
