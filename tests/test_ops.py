@@ -443,3 +443,73 @@ class TestWarpconvFormulation:
         for a, b in zip(grads("gather"), grads("warpconv")):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# two-pass affine resampler (ops/affine2pass.py)
+# ---------------------------------------------------------------------------
+
+class TestAffineTwoPass:
+    ho, wo = 40, 56
+
+    def _direct(self, img, m, t):
+        from maskflownet_tpu.ops.warp import backwarp_coords
+        ys, xs = np.meshgrid(np.arange(self.ho, dtype=np.float32),
+                             np.arange(self.wo, dtype=np.float32),
+                             indexing="ij")
+        sy = (m[:, 1, 0, None, None] * xs + m[:, 1, 1, None, None] * ys
+              + t[:, 1, None, None])
+        sx = (m[:, 0, 0, None, None] * xs + m[:, 0, 1, None, None] * ys
+              + t[:, 0, None, None])
+        return np.asarray(backwarp_coords(jnp.asarray(img), jnp.asarray(sy),
+                                          jnp.asarray(sx), method="gather"))
+
+    def _twopass(self, img, m, t):
+        from maskflownet_tpu.ops.affine2pass import affine_sample_twopass
+        return np.asarray(affine_sample_twopass(
+            jnp.asarray(img), jnp.asarray(m), jnp.asarray(t), self.ho,
+            self.wo, sx_max=1.35, sy_max=1.2))
+
+    def test_identity_exact(self):
+        rng_ = np.random.RandomState(0)
+        img = rng_.rand(2, 48, 64, 3).astype(np.float32)
+        m = np.tile(np.eye(2, dtype=np.float32), (2, 1, 1))
+        t = np.zeros((2, 2), np.float32)
+        got = self._twopass(img, m, t)
+        np.testing.assert_allclose(got, img[:, :self.ho, :self.wo], atol=1e-6)
+
+    def test_translation_exact_and_zero_oob(self):
+        rng_ = np.random.RandomState(1)
+        img = rng_.rand(2, 48, 64, 3).astype(np.float32)
+        m = np.tile(np.eye(2, dtype=np.float32), (2, 1, 1))
+        # fractional shift; second sample fully out of frame
+        t = np.array([[2.3, 4.7], [-70.0, -60.0]], np.float32)
+        got = self._twopass(img, m, t)
+        want = self._direct(img, m, t)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+        assert np.abs(got[1]).max() == 0.0
+
+    def test_general_affine_interior(self):
+        """Rotation+scale: matches direct bilinear on smooth content away
+        from the map's source-boundary band (sheared-stencil contract)."""
+        yy, xx = np.mgrid[0:48, 0:64].astype(np.float32)
+        smooth = np.stack([np.sin(yy / 9) * np.cos(xx / 11),
+                           (yy + xx) / 112.0,
+                           np.cos(xx / 7)], -1)[None].repeat(2, 0)
+        ang = np.array([0.3, -0.25], np.float32)
+        sc = np.array([1.05, 0.95], np.float32)
+        m = np.stack([np.stack([sc * np.cos(ang), -sc * np.sin(ang)], -1),
+                      np.stack([sc * np.sin(ang), sc * np.cos(ang)], -1)],
+                     1).astype(np.float32)
+        t = np.array([[1.2, 2.5], [3.1, -0.7]], np.float32)
+        got = self._twopass(smooth.astype(np.float32), m, t)
+        want = self._direct(smooth.astype(np.float32), m, t)
+        # interior = output pixels whose source point is >2 px inside
+        ys, xs = np.meshgrid(np.arange(self.ho), np.arange(self.wo),
+                             indexing="ij")
+        for i in range(2):
+            qx = m[i, 0, 0] * xs + m[i, 0, 1] * ys + t[i, 0]
+            qy = m[i, 1, 0] * xs + m[i, 1, 1] * ys + t[i, 1]
+            inner = (qx > 2) & (qx < 61) & (qy > 2) & (qy < 45)
+            err = np.abs(got[i] - want[i])[inner]
+            assert err.max() < 5e-3, err.max()
