@@ -170,7 +170,7 @@ def test_checkpoint_roundtrip(tmp_path, trainer):
                                   np.asarray(mu_b["conv1a/w"]))
 
 
-@pytest.mark.slow
+@pytest.mark.xslow
 def test_cascade_frozen_head_training():
     """fix_head: head params must not move; stage-2 params must move."""
     s = _settings(model="MaskFlownet", fix_head=True, q=0.4)
