@@ -24,11 +24,11 @@ from maskflownet_tpu.training import Trainer, TrainSettings
 TH, TW, B = 320, 448, 8
 
 
-def make_trainer(color=True):
+def make_trainer(color=True, loss_match="upsampling"):
     return Trainer(TrainSettings(
         model="MaskFlownet_S", model_cfg=ModelConfig(),
         compute_dtype="bfloat16", target_shape=(TH, TW),
-        orig_shape=(384, 512), geo=None,
+        orig_shape=(384, 512), geo=None, loss_match=loss_match,
         color=presets.color_aug_config("chairs") if color else None))
 
 
@@ -100,6 +100,18 @@ def main():
     if want("pallas_corr"):
         os.environ["MFN_PALLAS"] = "1"
         results["step, pallas corr"] = time_step(
+            make_trainer(color=True), batch)
+        os.environ.pop("MFN_PALLAS")
+    if want("downsampling"):
+        # multiscale loss with the 'downsampling' match (labels downsampled
+        # per scale instead of predictions upsampled to full res -- the
+        # reference supports both, MaskFlownet.py:602-608); measures how
+        # much the five full-res upsampled EPE maps cost
+        results["step, loss match=downsampling"] = time_step(
+            make_trainer(color=True, loss_match="downsampling"), batch)
+    if want("xla_corr"):
+        os.environ["MFN_PALLAS"] = "0"
+        results["step, xla corr"] = time_step(
             make_trainer(color=True), batch)
         os.environ.pop("MFN_PALLAS")
 
