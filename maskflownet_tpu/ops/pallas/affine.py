@@ -1,10 +1,13 @@
 """Windowed Pallas TPU kernel for batched bilinear resampling (NHWC).
 
 Built for the device-side geometric augmentation (``augment/geometry.py``),
-whose two ``grid_sample_normalized`` calls dominate the train step on TPU
-(measured 36 ms of a 135 ms chairs step at batch 8): per-pixel gathers
-serialize on TPU, and a full-height one-hot matmul wastes FLOPs proportional
-to the image height.
+whose two grid samplings dominate the train step on TPU when done with
+per-pixel gathers. Status (round 3): at the chairs aug shape this kernel
+measures 48.5 ms vs 57.2 ms for the gather path — program-count-bound
+(2560 programs) — and was superseded as the default by the dense two-pass
+LU resampler (``ops/affine2pass.py``, ~14 ms); it remains available via
+``MFN_AUG_SAMPLER=pallas`` and handles *arbitrary* smooth sampling maps,
+not just affine ones (benchmarks/affine_kernel_ab.py).
 
 Approach (MXU as the sampler):
   * The source image lives VMEM-resident per batch element in (H, C, W)
