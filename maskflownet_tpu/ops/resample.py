@@ -51,8 +51,14 @@ def upsample(img: Array, factor: int) -> Array:
 
 @functools.lru_cache(maxsize=None)
 def _triangle_kernel(f: int) -> tuple:
+    # pure numpy: jnp.arange under a jit trace yields tracers, and float()
+    # on a tracer raises ConcretizationTypeError -- this kernel must stay a
+    # compile-time constant (downsample runs inside the jitted train step
+    # for the 'downsampling' loss match)
+    import numpy as _np
     w = f // 2
-    k = ((w + 1) - abs(w - jnp.arange(0, 2 * w + 1, dtype=jnp.float32))) / (2 * w + 1)
+    k = ((w + 1) - _np.abs(w - _np.arange(0, 2 * w + 1, dtype=_np.float32))) \
+        / (2 * w + 1)
     return tuple(float(v) for v in k)
 
 

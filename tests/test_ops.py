@@ -513,3 +513,25 @@ class TestAffineTwoPass:
             inner = (qx > 2) & (qx < 61) & (qy > 2) & (qy < 45)
             err = np.abs(got[i] - want[i])[inner]
             assert err.max() < 5e-3, err.max()
+
+
+def test_downsample_inside_jit():
+    """Regression: the triangle kernel must be built from compile-time
+    constants — jnp.arange under a jit trace yields tracers and float() on
+    one raised ConcretizationTypeError, so downsample (and hence the
+    'downsampling' multiscale-loss match) crashed inside the compiled train
+    step until round 3."""
+    rng_ = np.random.RandomState(0)
+    x = jnp.asarray(rng_.randn(2, 16, 24, 3).astype(np.float32))
+    got = jax.jit(lambda a: downsample(a, 4))(x)
+    ref = downsample(x, 4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-6)
+
+    from maskflownet_tpu.losses import multiscale_epe
+    flow = jnp.asarray(rng_.randn(2, 64, 64, 2).astype(np.float32))
+    mask = jnp.ones((2, 64, 64, 1), jnp.float32)
+    preds = [jnp.asarray(rng_.randn(2, 64 // s, 64 // s, 2).astype(np.float32))
+             for s in (64, 32, 16, 8, 4)]
+    loss = jax.jit(lambda f, m: multiscale_epe(
+        f, m, preds, match="downsampling"))(flow, mask)
+    assert np.isfinite(np.asarray(loss)).all()
