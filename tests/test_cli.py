@@ -79,3 +79,30 @@ def test_cli_resume_from_checkpoint(chairs_env):
                "--root", root, "--compute_dtype", "float32",
                "-c", run_id[:3]])
     assert rc == 0
+
+
+@pytest.mark.xslow
+def test_cli_device_cache_with_device_aug(chairs_env):
+    """The flagship throughput path: --device_cache N (HBM-resident raw
+    batches, background refresh) with --aug auto resolving to 'device'
+    (crop/affine/color drawn inside the jitted step, so echoed batches get
+    fresh geometry). End-to-end through the CLI."""
+    net_yaml, ds_yaml, root = chairs_env
+    from maskflownet_tpu.cli.main import main, parse_args
+
+    args = parse_args([net_yaml, "--device_cache", "2"])
+    assert args.aug == "device"          # auto resolution
+    args = parse_args([net_yaml])
+    assert args.aug == "host"
+
+    rc = main([net_yaml, "--dataset_cfg", ds_yaml, "--debug", "--batch", "8",
+               "--root", root, "--compute_dtype", "float32",
+               "--device_cache", "2"])
+    assert rc == 0
+    weights = os.listdir(os.path.join(root, "weights"))
+    assert any(w.endswith(".npz") for w in weights), weights
+    logs = [f for f in os.listdir(os.path.join(root, "logs", "debug"))
+            if f.endswith(".log")]
+    text = open(os.path.join(root, "logs", "debug", logs[0])).read()
+    assert "steps=4" in text
+    assert "aug='device'" in text        # args logged with the resolved aug
