@@ -176,6 +176,29 @@ flow = (rng.randn(2, 64, 64, 2) * 2).astype(np.float32)
 
 per = 2 // nproc            # local samples this process contributes
 lo = pid * per
+
+# Pre-compile the step, then rendezvous on the coordination-service barrier
+# BEFORE the first collective execution: Gloo's context init has a hard 30s
+# key-exchange window, and on a small host the two workers' compile times
+# can skew past it (observed under CPU contention) -- the early worker's
+# first all-reduce then dies with DEADLINE_EXCEEDED while the partner is
+# still compiling. The AOT compile also populates the persistent cache, so
+# the jit-path compile inside train_batch is near-instant afterwards.
+if nproc > 1:
+    import jax.numpy as jnp
+    from maskflownet_tpu.parallel.mesh import shard_batch
+    warm = shard_batch(trainer.mesh, (
+        img1[lo:lo + per], img2[lo:lo + per], flow[lo:lo + per],
+        np.full((per, 1, 1, 1), 255, np.uint8)))
+    key = jax.random.fold_in(jax.random.PRNGKey(0), 0)
+    trainer._train_step.lower(
+        trainer.params, trainer.opt_state, *warm, key,
+        jnp.asarray(1e-4, jnp.float32)).compile()
+    from jax._src import distributed
+    if distributed.global_state.client is not None:
+        distributed.global_state.client.wait_at_barrier(
+            "mfn_step_compiled", 600_000)
+
 losses = []
 for _ in range(3):
     m = trainer.train_batch(img1[lo:lo + per], img2[lo:lo + per],
