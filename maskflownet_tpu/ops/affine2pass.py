@@ -141,7 +141,9 @@ def affine_sample_twopass(img: Array, m: Array, t: Array, ho: int, wo: int,
     two pass scales); ``shear_max``: static bound on |m[0,1]/m[1,1]| and
     |m[1,0]| (the per-line offset slopes). Exceeding them silently clips
     sample positions — callers derive sound bounds from their transform
-    parameter ranges.
+    parameter ranges. Both pass scales must be POSITIVE: m[1,1] > 0 and
+    det(m) > 0 (rotations+positive scales qualify; flips/reflections and
+    rotations beyond 90 deg do not — use the gather path for those).
     """
     n, h, w, c = img.shape
     m = m.astype(jnp.float32)
