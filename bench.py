@@ -51,15 +51,11 @@ _PEAK_TFLOPS = {
 def main():
     import os
 
-    import jax
-    # persistent compilation cache: the chairs-stage train step compiles in
-    # minutes over a tunneled backend; cache it across bench invocations.
-    # Set MFN_NO_COMPILE_CACHE=1 to disable (cold-compile measurements, or
-    # to bypass a stale/corrupt cache dir).
-    if not os.environ.get("MFN_NO_COMPILE_CACHE"):
-        jax.config.update("jax_compilation_cache_dir", os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), ".jax_cache_tpu"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    import jax  # noqa: F401  (backend must initialize before cache setup)
+    # persistent compilation cache (MFN_NO_COMPILE_CACHE=1 disables): the
+    # chairs-stage train step compiles in minutes over a tunneled backend
+    from maskflownet_tpu.compile_cache import enable_compile_cache
+    enable_compile_cache(os.path.dirname(os.path.abspath(__file__)))
 
     from maskflownet_tpu.config import presets
     from maskflownet_tpu.config.presets import geometry_aug_config
@@ -112,7 +108,7 @@ def main():
     assert np.isfinite(float(m["loss"])), m
 
     # ---- headline: fresh-geometry throughput on the cache path ----
-    prefetch.serves = prefetch.transfers = 0  # echo over the window only
+    prefetch.reset_stats()  # echo measured over the bench window only
     n_steps = 30
     t0 = time.perf_counter()
     for _ in range(n_steps):

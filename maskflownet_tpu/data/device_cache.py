@@ -135,6 +135,13 @@ class DeviceBatchCache:
         """Mean reuses per transferred batch so far."""
         return self.serves / max(1, self.transfers)
 
+    def reset_stats(self) -> None:
+        """Zero the serve/transfer counters under the refresh thread's lock
+        (an unsynchronized reset races the thread's ``transfers += 1``)."""
+        with self._lock:
+            self.serves = 0
+            self.transfers = 0
+
     def stop(self, timeout: float = 30.0):
         """Signal the refresh thread and wait for it to finish its in-flight
         transfer. Joining matters: a daemon thread still inside

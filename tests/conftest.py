@@ -19,12 +19,10 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
-# Persistent compilation cache: the big jitted train steps compile in
-# minutes on CPU; cache them across test runs.
-_cache_dir = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Persistent compilation cache: the big jitted train steps compile in
+# minutes on CPU; cache them across test runs (-> <repo>/.jax_cache).
+from maskflownet_tpu.compile_cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()

@@ -154,9 +154,8 @@ nproc = int(sys.argv[6])
 sys.path.insert(0, repo)
 # share the repo-wide persistent compile cache (tests/conftest.py) so
 # repeated runs of this worker skip the multi-minute train-step compile
-jax.config.update("jax_compilation_cache_dir", os.path.join(repo, ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+from maskflownet_tpu.compile_cache import enable_compile_cache
+enable_compile_cache(repo)
 
 from maskflownet_tpu.parallel.mesh import initialize_distributed, make_mesh
 initialize_distributed(coord, nproc, pid)

@@ -535,3 +535,30 @@ def test_downsample_inside_jit():
     loss = jax.jit(lambda f, m: multiscale_epe(
         f, m, preds, match="downsampling"))(flow, mask)
     assert np.isfinite(np.asarray(loss)).all()
+
+
+@pytest.mark.parametrize("k,stride,pad", [(4, 2, 1), (3, 1, 1), (2, 2, 0),
+                                          (5, 2, 2)])
+def test_deconv_pad_output_shapes(k, stride, pad):
+    """nn.deconv must honor the transposed-conv output-size formula
+    out = (in - 1)*stride - 2*pad + k for non-default kernels/pads (the
+    pad used to be hardcoded to 1)."""
+    from maskflownet_tpu import nn as fnn
+    x = jnp.zeros((1, 6, 7, 3), jnp.float32)
+
+    def fwd(ctx, a):
+        return fnn.deconv(ctx, "d", a, 4, k=k, stride=stride, pad=pad)
+
+    params = fnn.init(fwd, jax.random.PRNGKey(0), x)
+    out = fwd(fnn.apply_ctx(params), x)
+    want_h = (6 - 1) * stride - 2 * pad + k
+    want_w = (7 - 1) * stride - 2 * pad + k
+    assert out.shape == (1, want_h, want_w, 4), out.shape
+
+
+def test_deconv_pad_out_of_range():
+    from maskflownet_tpu import nn as fnn
+    x = jnp.zeros((1, 4, 4, 2), jnp.float32)
+    with pytest.raises(ValueError):
+        fnn.init(lambda ctx, a: fnn.deconv(ctx, "d", a, 2, k=3, pad=3),
+                 jax.random.PRNGKey(0), x)

@@ -88,10 +88,8 @@ def main(argv=None):
     import jax
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(os.path.dirname(os.path.dirname(
-                          os.path.abspath(__file__))), ".jax_cache_tpu"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    from maskflownet_tpu.compile_cache import enable_compile_cache
+    enable_compile_cache()
 
     from maskflownet_tpu.augment.host_geometry import batch_host_geometry
     from maskflownet_tpu.config import presets
