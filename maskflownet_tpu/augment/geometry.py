@@ -74,24 +74,39 @@ def _sampler_mode() -> str:
     return "twopass" if jax.default_backend() == "tpu" else "xla"
 
 
-def _twopass_bounds(cfg: "GeometryAugConfig") -> tuple[float, float]:
-    """Static per-pass scale bounds for ``affine_sample_twopass``.
+#: Largest total rotation (radians) for which the static two-pass bounds
+#: below are sound: cos stays >= cos(1.2) ~ 0.362 so the Y-pass scale
+#: d = s*cos is safely positive and the 1/cos factors are bounded.
+_TWOPASS_MAX_ANGLE_RAD = 1.2
+
+
+def _twopass_total_angle(cfg: "GeometryAugConfig") -> float:
+    ang = max(abs(cfg.angle_range[0]), abs(cfg.angle_range[1]))
+    if cfg.relative_angle is not None:
+        ang *= (1.0 + cfg.relative_angle)
+    return ang * math.pi / 180.0
+
+
+def _twopass_bounds(
+        cfg: "GeometryAugConfig") -> tuple[float, float, float] | None:
+    """Static per-pass scale bounds for ``affine_sample_twopass``, or
+    ``None`` when the config's total rotation exceeds the soundness region
+    (the caller must then fall back to the exact gather sampler -- clamped
+    bounds would silently clip sample positions and corrupt batches).
 
     The pixel-space linear part is [[s*a*cos, -s*a*sin], [s*sin, s*cos]]
     (normalized units cancel; s = zoom * relative scale, a = aspect), so
     the X-pass scale det/d = s*a/cos and the Y-pass scale d = s*cos are
     bounded by the config ranges.
     """
-    import math as _math
-
+    ang = _twopass_total_angle(cfg)
+    if ang > _TWOPASS_MAX_ANGLE_RAD:
+        return None
     z = cfg.zoom_range[1]
     a = cfg.aspect_range[1] if cfg.aspect_range else 1.0
     r = cfg.relative_scale[1] if cfg.relative_angle is not None else 1.0
-    ang = max(abs(cfg.angle_range[0]), abs(cfg.angle_range[1]))
-    if cfg.relative_angle is not None:
-        ang *= (1.0 + cfg.relative_angle)
-    cos_min = _math.cos(min(ang * _math.pi / 180.0, 1.2))
-    sin_max = _math.sin(min(ang * _math.pi / 180.0, 1.2))
+    cos_min = math.cos(ang)
+    sin_max = math.sin(ang)
     sx_max = z * r * a / max(cos_min, 0.3) * 1.02
     sy_max = z * r * 1.02
     # offset slopes: |b/d| = aspect*tan(rot) (X-pass), |c| = s*sin (Y-pass)
@@ -282,9 +297,15 @@ def geometry_augmentation(key: Array, img1: Array, img2: Array, flow: Array,
     packed = jnp.concatenate(
         [img1, mask_b, flow.astype(jnp.float32) * mask_b], axis=-1)
     mode = _sampler_mode()
+    bounds = _twopass_bounds(cfg) if mode == "twopass" else None
+    if mode == "twopass" and bounds is None:
+        # rotation range outside the static-bounds soundness region
+        # (> ~69 deg total): the exact gather path instead of silently
+        # clipping sample positions (ADVICE r3)
+        mode = "xla"
     if mode == "twopass":
         from maskflownet_tpu.ops.affine2pass import affine_sample_twopass
-        sx_max, sy_max, shear_max = _twopass_bounds(cfg)
+        sx_max, sy_max, shear_max = bounds
         packed = affine_sample_twopass(packed, m1, t1, th, tw, sx_max=sx_max,
                                        sy_max=sy_max, shear_max=shear_max)
         img2_a = affine_sample_twopass(img2, m2, t2, th, tw, sx_max=sx_max,

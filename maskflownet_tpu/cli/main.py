@@ -208,14 +208,18 @@ def load_training_data(args, dataset_cfg, batch_size):
 def run_validation(trainer, validation, batch_size, resize):
     out = {}
     for vname, (i1, i2, fl, mk) in validation.items():
-        kind = "kitti" if vname.startswith("kitti") else "epe"
-        epe = trainer.validate(i1, i2, fl, mk, batch_size=batch_size,
-                               resize=resize, return_type="epe")
-        out[vname] = epe
-        if kind == "kitti":
-            out[vname + ":kitti"] = trainer.validate(
+        if vname.startswith("kitti"):
+            # one inference sweep yields both metrics (engine return_type
+            # "both"; the reference ran the dataset twice, pipeline.py:176-184)
+            epe, fl_all = trainer.validate(
                 i1, i2, fl, mk, batch_size=batch_size, resize=resize,
-                return_type="kitti")
+                return_type="both")
+            out[vname] = epe
+            out[vname + ":kitti"] = fl_all
+        else:
+            out[vname] = trainer.validate(i1, i2, fl, mk,
+                                          batch_size=batch_size,
+                                          resize=resize, return_type="epe")
     return out
 
 
@@ -363,11 +367,10 @@ def main(argv=None):
             d = kitti.read_dataset(editions=ed, parts="mixed",
                                    resize=(1224, 370))
             args4 = (d["image_0"], d["image_1"], d["flow"], d["occ"])
-            epe = trainer.validate(*args4, batch_size=batch_size,
-                                   resize=infer_resize, return_type="epe")
+            epe, fl = trainer.validate(*args4, batch_size=batch_size,
+                                       resize=infer_resize,
+                                       return_type="both")
             log.log(f"steps={trainer.steps}, kitti.{ed}:epe={epe}")
-            fl = trainer.validate(*args4, batch_size=batch_size,
-                                  resize=infer_resize, return_type="kitti")
             log.log(f"steps={trainer.steps}, kitti.{ed}:kitti={fl}")
         log.close()
         return 0

@@ -253,14 +253,20 @@ class Trainer:
         return np.asarray(flow), np.asarray(occ), np.asarray(warped)
 
     def validate(self, img1s, img2s, flows, masks=None, batch_size: int = 4,
-                 resize=None, return_type: str = "epe") -> float:
-        """Dataset-level mean EPE or KITTI Fl-all (reference
-        ``pipeline.py:149-187``). Lists of HWC numpy arrays."""
+                 resize=None, return_type: str = "epe"):
+        """Dataset-level mean EPE and/or KITTI Fl-all (reference
+        ``pipeline.py:149-187``). Lists of HWC numpy arrays.
+
+        ``return_type``: ``"epe"`` or ``"kitti"`` return that metric as a
+        float; ``"both"`` returns ``(epe, fl_all)`` from ONE inference sweep
+        (the reference -- and round-3's CLI -- ran the whole dataset through
+        the network once per metric; VERDICT r3 W7)."""
         n = len(img1s)
         if masks is None:
             masks = [np.full(img1s[i].shape[:2] + (1,), 255, np.uint8)
                      for i in range(n)]
-        per_sample = []
+        per_sample: dict[str, list] = {"epe": [], "kitti": []}
+        wanted = ("epe", "kitti") if return_type == "both" else (return_type,)
         for j in range(0, n, batch_size):
             i1 = np.stack(img1s[j:j + batch_size]).astype(np.float32) / 255.0
             i2 = np.stack(img2s[j:j + batch_size]).astype(np.float32) / 255.0
@@ -274,13 +280,15 @@ class Trainer:
                     [x, np.repeat(x[-1:], pad, 0)]) for x in (i1, i2, fl, mk)]
             flow, _, _ = self.do_batch(i1, i2, resize=resize)
             flow_j, fl_j, mk_j = map(jnp.asarray, (flow, fl, mk))
-            if return_type == "epe":
-                e = epe_loss_with_mask(flow_j, fl_j, mk_j)
-            else:
-                e = kitti_outlier_rate(flow_j, fl_j, mk_j)
-            e = np.asarray(e)
-            per_sample.extend(e[: batch_size - pad] if pad else e)
-        return float(np.mean(per_sample))
+            for kind in wanted:
+                metric = (epe_loss_with_mask if kind == "epe"
+                          else kitti_outlier_rate)
+                e = np.asarray(metric(flow_j, fl_j, mk_j))
+                per_sample[kind].extend(e[: batch_size - pad] if pad else e)
+        means = {k: float(np.mean(v)) for k, v in per_sample.items() if v}
+        if return_type == "both":
+            return means["epe"], means["kitti"]
+        return means[return_type]
 
     def predict(self, img1s, img2s, batch_size: int = 4, resize=None):
         """Generator over (flow (H,W,2) (dy,dx), occ, warped) per frame
@@ -303,9 +311,15 @@ class Trainer:
     # checkpointing (reference pipeline.py:52-63 + main.py:546-556)
     # ------------------------------------------------------------------
 
+    #: Checkpoint schema: 1 = npz with ``p:``/``mu:``/``nu:`` prefixed flat
+    #: param dicts + ``step``/``count`` scalars (+ this version marker).
+    #: Pre-round-4 checkpoints lack the marker and are accepted as v1.
+    CKPT_SCHEMA = 1
+
     def state_dict(self) -> dict[str, np.ndarray]:
         mu, nu, count = self._opt_flat()
-        out = {"step": np.asarray(self.steps)}
+        out = {"step": np.asarray(self.steps),
+               "schema": np.asarray(self.CKPT_SCHEMA)}
         for k, v in self.params.items():
             out["p:" + k] = np.asarray(v)
         for k, v in mu.items():
@@ -327,11 +341,31 @@ class Trainer:
 
     def load(self, path: str, load_states: bool = True) -> None:
         z = np.load(path)
+        if "schema" in z and int(z["schema"]) > self.CKPT_SCHEMA:
+            raise ValueError(
+                f"checkpoint schema v{int(z['schema'])} is newer than this "
+                f"build supports (v{self.CKPT_SCHEMA}): {path}")
         params = {k[2:]: jnp.asarray(v) for k, v in z.items()
                   if k.startswith("p:")}
         missing = set(self.params) - set(params)
         if missing:
             raise ValueError(f"checkpoint missing params: {sorted(missing)[:5]}")
+        # a cascade checkpoint loaded into an S model is a param superset --
+        # the extra keys would silently *install* (params is replaced
+        # wholesale), so reject anything the model does not declare
+        # (VERDICT r3 W5; the importer's strict mode now holds here too)
+        unknown = set(params) - set(self.params)
+        if unknown:
+            raise ValueError(
+                f"checkpoint has {len(unknown)} params unknown to model "
+                f"'{self.settings.model}': {sorted(unknown)[:5]} -- wrong "
+                "model class? (use load_head to seed a cascade from an S "
+                "checkpoint)")
+        for k, v in params.items():
+            if tuple(v.shape) != tuple(self.params[k].shape):
+                raise ValueError(
+                    f"checkpoint param {k!r} shape {tuple(v.shape)} != model "
+                    f"shape {tuple(self.params[k].shape)}")
         self.params = params
         if load_states and any(k.startswith("mu:") for k in z):
             mu = {k[3:]: jnp.asarray(v) for k, v in z.items()
@@ -352,4 +386,10 @@ class Trainer:
         unknown = set(head) - set(self.params)
         if unknown:
             raise ValueError(f"head params not in model: {sorted(unknown)[:5]}")
+        expected = {k for k in self.params if k.startswith(HEAD_SCOPE + "/")}
+        missing = expected - set(head)
+        if missing:
+            raise ValueError(
+                f"checkpoint does not cover the head: missing "
+                f"{sorted(missing)[:5]}")
         self.params = {**self.params, **head}

@@ -299,3 +299,35 @@ def test_geometry_twopass_consistency_property(monkeypatch):
     m[:, :, :3] = m[:, :, -3:] = False
     err = np.abs(np.asarray(rewarped) - np.asarray(i1a))[m]
     assert err.mean() < 0.03, err.mean()
+
+
+def test_twopass_bounds_unsound_rotation_falls_back(monkeypatch):
+    """Configs whose total rotation exceeds the static-bounds soundness
+    region (~69 deg incl. the relative-angle scale) must NOT use the
+    two-pass sampler with clipped bounds -- _twopass_bounds returns None
+    and geometry_augmentation silently takes the exact gather path,
+    matching it bitwise (ADVICE r3 #1)."""
+    from maskflownet_tpu.augment.geometry import (_twopass_bounds,
+                                                  geometry_augmentation)
+
+    wild = GeometryAugConfig(angle_range=(-80.0, 80.0),
+                             target_shape=(40, 48), orig_shape=(48, 64))
+    assert _twopass_bounds(wild) is None
+    # 69/1.25 = 55.2 deg base angle scales to 69 total: just inside
+    ok = GeometryAugConfig(angle_range=(-17.0, 17.0),
+                           target_shape=(40, 48), orig_shape=(48, 64))
+    assert _twopass_bounds(ok) is not None
+
+    b, oh, ow = 2, 48, 64
+    rng = np.random.RandomState(3)
+    img1 = jnp.asarray(rng.rand(b, oh, ow, 3).astype(np.float32))
+    img2 = jnp.asarray(rng.rand(b, oh, ow, 3).astype(np.float32))
+    flow = jnp.asarray((rng.randn(b, oh, ow, 2) * 2).astype(np.float32))
+    mask = jnp.ones((b, oh, ow, 1), jnp.float32)
+    key = jax.random.PRNGKey(4)
+    monkeypatch.setenv("MFN_AUG_SAMPLER", "twopass")
+    got = geometry_augmentation(key, img1, img2, flow, mask, wild)
+    monkeypatch.setenv("MFN_AUG_SAMPLER", "xla")
+    ref = geometry_augmentation(key, img1, img2, flow, mask, wild)
+    for g, r in zip(got, ref):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(r))

@@ -145,6 +145,17 @@ def test_validate_and_predict(trainer):
     fl_all = trainer.validate(img1s, img2s, flows, batch_size=2,
                               return_type="kitti")
     assert 0 <= fl_all <= 1
+    # "both" returns the identical pair from ONE inference sweep (r3 W7)
+    calls = []
+    orig = trainer.do_batch
+    trainer.do_batch = lambda *a, **k: (calls.append(1), orig(*a, **k))[1]
+    try:
+        epe_b, fl_b = trainer.validate(img1s, img2s, flows, batch_size=2,
+                                       return_type="both")
+    finally:
+        trainer.do_batch = orig
+    assert len(calls) == 2          # ceil(3/2) batches, one pass total
+    assert epe_b == pytest.approx(epe) and fl_b == pytest.approx(fl_all)
     outs = list(trainer.predict(img1s, img2s, batch_size=2))
     assert len(outs) == 3
     flow, occ, warped = outs[0]
@@ -200,6 +211,54 @@ def test_load_head_bootstraps_cascade(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(tc.params[HEAD_SCOPE + "/conv1a/w"]),
         np.asarray(ts.params["conv1a/w"]))
+
+    # checkpoint hygiene, both directions (VERDICT r3 W5): a cascade
+    # checkpoint stores head params under the MaskFlownet_S/ prefix, so
+    # loading it into an S model trips the missing-params check; an S
+    # checkpoint only seeds a cascade through load_head, never load().
+    casc_prefix = str(tmp_path / "casc_ck")
+    tc.save(casc_prefix)
+    with pytest.raises(ValueError, match="missing params"):
+        ts.load(casc_prefix + ".npz")
+    with pytest.raises(ValueError, match="missing params"):
+        tc.load(prefix + ".npz")
+    # the silent-superset hole W5 actually describes: a checkpoint that
+    # covers the model AND carries extra keys must be rejected, not
+    # wholesale-installed
+    z = dict(np.load(prefix + ".npz"))
+    z["p:bogus/w"] = np.zeros((3, 3), np.float32)
+    np.savez(str(tmp_path / "superset"), **z)
+    with pytest.raises(ValueError, match="unknown to model"):
+        ts.load(str(tmp_path / "superset.npz"))
+    # load_head in turn must refuse a checkpoint not covering the head
+    z = dict(np.load(prefix + ".npz"))
+    z.pop("p:conv1a/w")
+    np.savez(str(tmp_path / "partial"), **z)
+    with pytest.raises(ValueError, match="does not cover the head"):
+        tc.load_head(str(tmp_path / "partial.npz"))
+
+
+@pytest.mark.slow
+def test_load_rejects_bad_schema_and_shapes(tmp_path, trainer):
+    prefix = str(tmp_path / "ck")
+    trainer.save(prefix)
+    z = dict(np.load(prefix + ".npz"))
+    assert int(z["schema"]) == Trainer.CKPT_SCHEMA
+    # future schema version -> refuse (don't misparse a newer layout)
+    z2 = dict(z, schema=np.asarray(Trainer.CKPT_SCHEMA + 1))
+    np.savez(str(tmp_path / "future"), **z2)
+    with pytest.raises(ValueError, match="schema"):
+        trainer.load(str(tmp_path / "future.npz"))
+    # pre-round-4 checkpoints lack the marker: accepted as current schema
+    z3 = {k: v for k, v in z.items() if k != "schema"}
+    np.savez(str(tmp_path / "legacy"), **z3)
+    trainer.load(str(tmp_path / "legacy.npz"))
+    # per-param shape mismatch -> refuse
+    z4 = dict(z)
+    z4["p:conv1a/w"] = z4["p:conv1a/w"][..., :1]
+    np.savez(str(tmp_path / "badshape"), **z4)
+    with pytest.raises(ValueError, match="shape"):
+        trainer.load(str(tmp_path / "badshape.npz"))
 
 
 @pytest.mark.slow

@@ -35,6 +35,13 @@ def main(argv=None):
     p.add_argument("--train_pairs", type=int, default=192)
     p.add_argument("--val_pairs", type=int, default=24)
     p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--lr_schedule", type=str, default="piecewise",
+                   choices=("constant", "piecewise"),
+                   help="'piecewise' (default) halves the LR at 60%% and "
+                        "again at 80%% of the run (reference-style "
+                        "boundary schedule, pipeline.py:65-75) so the "
+                        "convergence tail is monotone instead of bouncing "
+                        "at a constant LR (VERDICT r3 W4)")
     p.add_argument("--eval_every", type=int, default=500)
     p.add_argument("--bound", type=float, default=None,
                    help="final-EPE pass bound in pixels (default: 0.5 for "
@@ -62,11 +69,14 @@ def main(argv=None):
                         "displacements; trains WITHOUT occlusion supervision"
                         " and reports occlusion-AUC of the learned mask "
                         "(the paper's core claim, MaskFlownet.py:230-233)")
-    p.add_argument("--aug", type=str, default="host",
+    p.add_argument("--aug", type=str, default=None,
                    choices=("host", "device"),
                    help="geometry-augmentation placement; 'device' runs "
                         "crop+affine inside the jitted step (echoed cached "
-                        "batches then get fresh geometry every step)")
+                        "batches then get fresh geometry every step). "
+                        "Default: 'device' when --input cache (echoed "
+                        "batches must not repeat identical geometry -- the "
+                        "CLI applies the same auto rule), else 'host'.")
     p.add_argument("--viz", type=str, default=None,
                    help="write a mask-visualization PNG (img1 | GT occ | "
                         "learned mask) for the first validation pairs")
@@ -84,6 +94,17 @@ def main(argv=None):
 
     if args.bound is None:
         args.bound = 3.0 if args.task == "occlusion" else 0.5
+    if args.aug is None:
+        # mirror the CLI auto rule: device-cached batches are echoed, so
+        # geometry must be drawn fresh inside the compiled step -- pairing
+        # cache with host aug silently repeats identical crops/affines
+        args.aug = "device" if args.input == "cache" else "host"
+    elif args.aug == "host" and args.input == "cache":
+        import warnings
+        warnings.warn(
+            "--input cache with --aug host trains on echoed batches with "
+            "REPEATED geometry (identical crops/affines each echo); use "
+            "--aug device or --input prefetch", stacklevel=1)
 
     import jax
     if args.platform:
@@ -200,11 +221,17 @@ def main(argv=None):
         with open(args.out + ".partial", "w") as fp:
             json.dump({"curve": curve, "auc_curve": auc_curve}, fp)
 
+    # The cascade's second ``do_batch`` output is flow2 channel 0 standing in
+    # for a mask (reference parity, MaskFlownet.py:543-545) -- an AUC against
+    # occlusion GT would be a meaningless ~0.5, so only the S model (whose
+    # occ output IS the learned sigmoid mask) reports it (VERDICT r3 W4).
+    report_auc = v_occ is not None and args.model == "MaskFlownet_S"
+
     def eval_point(step):
         epe = evaluate()
         curve.append([step, round(float(epe), 4)])
         msg = f"step {step}: epe {epe:.3f}"
-        if v_occ is not None:
+        if report_auc:
             auc = occlusion_auc()
             auc_curve.append([step, round(auc, 4)])
             msg += f" occ_auc {auc:.3f}"
@@ -213,10 +240,17 @@ def main(argv=None):
 
     print(eval_point(0), flush=True)
 
+    def lr_for(step):
+        if args.lr_schedule == "constant":
+            return args.lr
+        frac = step / args.steps
+        return args.lr if frac <= 0.6 else (
+            args.lr / 2 if frac <= 0.8 else args.lr / 4)
+
     t_train0 = time.time()
     t_spent_eval = 0.0
     for step in range(1, args.steps + 1):
-        m = trainer.train_batch_device(prefetch.get(), lr=args.lr)
+        m = trainer.train_batch_device(prefetch.get(), lr=lr_for(step))
         if step % args.eval_every == 0 or step == args.steps:
             te = time.time()
             msg = eval_point(step)
@@ -225,7 +259,7 @@ def main(argv=None):
                   f"({time.time() - t_train0:.0f}s)", flush=True)
     prefetch.stop()
 
-    if args.viz and v_occ is not None:
+    if args.viz and report_auc:
         import cv2
         rows = []
         for t in range(min(3, len(v1))):
@@ -247,6 +281,21 @@ def main(argv=None):
         trainer.save(args.save)
         print(f"saved checkpoint to {args.save}.npz", flush=True)
 
+    head_epe = None
+    if args.load_head:
+        # head-vs-cascade on the IDENTICAL validation set: how much did the
+        # second stage buy over the standalone head it was seeded from?
+        head_settings = TrainSettings(
+            model="MaskFlownet_S", model_cfg=ModelConfig(),
+            compute_dtype=args.compute_dtype, target_shape=(th, tw),
+            orig_shape=(oh, ow), geo=None, color=None)
+        head_trainer = Trainer(head_settings)
+        head_trainer.load(args.load_head, load_states=False)
+        head_epe = float(head_trainer.validate(v1, v2, vf, vv,
+                                               batch_size=args.batch))
+        print(f"head-only epe on the same val set: {head_epe:.3f} "
+              f"(cascade: {curve[-1][1]:.3f})", flush=True)
+
     train_s = time.time() - t_train0 - t_spent_eval
     sps = args.steps * args.batch / train_s
     final = curve[-1][1]
@@ -264,6 +313,7 @@ def main(argv=None):
         "train_pairs": args.train_pairs,
         "val_pairs": args.val_pairs,
         "lr": args.lr,
+        "lr_schedule": args.lr_schedule,
         "input_path": ("TrainLoader+host_geo_aug+"
                        + ("DeviceBatchCache" if args.input == "cache"
                           else "DevicePrefetcher")
@@ -280,6 +330,12 @@ def main(argv=None):
         out["auc_curve"] = auc_curve
         out["occ_auc0"] = auc_curve[0][1]
         out["final_occ_auc"] = auc_curve[-1][1]
+    elif v_occ is not None:
+        out["occ_auc"] = ("skipped: cascade visuals[0] is flow2 ch0, not a "
+                          "mask (MaskFlownet.py:543-545)")
+    if head_epe is not None:
+        out["head_epe_same_valset"] = round(head_epe, 4)
+        out["cascade_minus_head_epe"] = round(final - head_epe, 4)
     with open(args.out, "w") as fp:
         json.dump(out, fp, indent=1)
     print(json.dumps({k: out[k] for k in
