@@ -95,9 +95,19 @@ def _twopass_bounds(
     bounds would silently clip sample positions and corrupt batches).
 
     The pixel-space linear part is [[s*a*cos, -s*a*sin], [s*sin, s*cos]]
-    (normalized units cancel; s = zoom * relative scale, a = aspect), so
-    the X-pass scale det/d = s*a/cos and the Y-pass scale d = s*cos are
-    bounded by the config ranges.
+    (normalized units cancel; s = zoom, a = aspect; the relative transform
+    multiplies by rscale*R(rr) in pixel space), so the X-pass scale
+    det/d = s*a/cos and the Y-pass scale d = s*cos. On top of the config
+    ranges, geometry_augmentation's crop-fit clamp (the reference's
+    ``augmentation.py:277-279``; geometry.py:201-202 here) caps
+
+        s*a <= osx / (tsy*sin|rot| + tsx*cos|rot|)
+        s   <= osy / (tsy*cos|rot| + tsx*sin|rot|)
+
+    for every drawn base rotation, which tightens the static window by
+    ~15% at the chairs shapes (slab bytes are the dominant aug cost --
+    round-4). The bound maximizes over a rotation grid, giving the
+    relative transform the worst extra rotation Ar in the 1/cos factor.
     """
     ang = _twopass_total_angle(cfg)
     if ang > _TWOPASS_MAX_ANGLE_RAD:
@@ -105,10 +115,27 @@ def _twopass_bounds(
     z = cfg.zoom_range[1]
     a = cfg.aspect_range[1] if cfg.aspect_range else 1.0
     r = cfg.relative_scale[1] if cfg.relative_angle is not None else 1.0
+    base_ang = max(abs(cfg.angle_range[0]), abs(cfg.angle_range[1])) \
+        * math.pi / 180.0
+    rel_ang = base_ang * cfg.relative_angle \
+        if cfg.relative_angle is not None else 0.0
+    th, tw = cfg.target_shape
+    oh, ow = cfg.orig_shape
+    osy, osx = oh - 1.0, ow - 1.0
+    tsy, tsx = th - 1.0, tw - 1.0
     cos_min = math.cos(ang)
     sin_max = math.sin(ang)
-    sx_max = z * r * a / max(cos_min, 0.3) * 1.02
-    sy_max = z * r * 1.02
+    sx_max = sy_max = 0.0
+    for i in range(65):
+        t = base_ang * i / 64.0
+        ct, st = math.cos(t), math.sin(t)
+        c_tot = max(math.cos(min(t + rel_ang, ang)), 0.3)
+        sa = min(z * a, osx / (tsy * st + tsx * ct))      # crop-fit clamp 1
+        s = min(z, osy / (tsy * ct + tsx * st))           # crop-fit clamp 2
+        sx_max = max(sx_max, sa / c_tot)
+        sy_max = max(sy_max, s)                           # d = s*cos <= s
+    sx_max *= r * 1.02
+    sy_max *= r * 1.02
     # offset slopes: |b/d| = aspect*tan(rot) (X-pass), |c| = s*sin (Y-pass)
     shear_max = max(a * sin_max / max(cos_min, 0.3), z * r * sin_max) * 1.05
     return sx_max, sy_max, max(shear_max, 0.05)
@@ -294,8 +321,6 @@ def geometry_augmentation(key: Array, img1: Array, img2: Array, flow: Array,
 
     # ---- joint sampling of img1 / mask / flow*mask (augmentation.py:305-314)
     mask_b = jnp.broadcast_to(mask.astype(jnp.float32), flow.shape[:3] + (1,))
-    packed = jnp.concatenate(
-        [img1, mask_b, flow.astype(jnp.float32) * mask_b], axis=-1)
     mode = _sampler_mode()
     bounds = _twopass_bounds(cfg) if mode == "twopass" else None
     if mode == "twopass" and bounds is None:
@@ -306,11 +331,37 @@ def geometry_augmentation(key: Array, img1: Array, img2: Array, flow: Array,
     if mode == "twopass":
         from maskflownet_tpu.ops.affine2pass import affine_sample_twopass
         sx_max, sy_max, shear_max = bounds
-        packed = affine_sample_twopass(packed, m1, t1, th, tw, sx_max=sx_max,
-                                       sy_max=sy_max, shear_max=shear_max)
-        img2_a = affine_sample_twopass(img2, m2, t2, th, tw, sx_max=sx_max,
-                                       sy_max=sy_max, shear_max=shear_max)
+        # Precision split (round 4): image channels ride bf16 (~0.4%
+        # relative -- below the color-aug noise floor and the model's own
+        # bf16 compute); labels (mask, flow*mask) ride f16 unless
+        # MFN_AUG_LABEL_DTYPE=float32 -- the flow already crosses the wire
+        # as f16 (engine.py), so f16 sampling adds roundings of the same
+        # quantization class (<= ~0.2 px at a 400 px KITTI flow, ~0.006 px
+        # at typical magnitudes; tests/test_augment.py bounds the label
+        # error). Halving the sampled bytes matters because the slab
+        # gathers are bandwidth/descriptor-bound (ops/affine2pass.py):
+        # 15.7 ms (r3, all-f32) -> ~4.5 ms for the two calls.
+        import os
+        lab_dtype = jnp.float32 if os.environ.get(
+            "MFN_AUG_LABEL_DTYPE") == "float32" else jnp.float16
+        imgs = jnp.concatenate([img1, img2], axis=0).astype(jnp.bfloat16)
+        imgs_a = affine_sample_twopass(
+            imgs, jnp.concatenate([m1, m2], axis=0),
+            jnp.concatenate([t1, t2], axis=0), th, tw, sx_max=sx_max,
+            sy_max=sy_max, shear_max=shear_max)
+        img1_a = imgs_a[:b].astype(jnp.float32)
+        img2_a = imgs_a[b:].astype(jnp.float32)
+        lab = jnp.concatenate(
+            [mask_b, flow.astype(jnp.float32) * mask_b],
+            axis=-1).astype(lab_dtype)
+        lab_a = affine_sample_twopass(lab, m1, t1, th, tw, sx_max=sx_max,
+                                      sy_max=sy_max, shear_max=shear_max
+                                      ).astype(jnp.float32)
+        mask_a = lab_a[..., 0:1]
+        flow_s = lab_a[..., 1:3] / jnp.maximum(mask_a, 1e-8)  # (dy, dx)
     else:
+        packed = jnp.concatenate(
+            [img1, mask_b, flow.astype(jnp.float32) * mask_b], axis=-1)
         sampler = _pick_sampler(cfg, (oh, ow), (th, tw)) \
             if mode == "pallas" else None
         if sampler is not None:
@@ -319,9 +370,9 @@ def geometry_augmentation(key: Array, img1: Array, img2: Array, flow: Array,
         else:
             packed = grid_sample_normalized(packed, g1x, g1y)
             img2_a = grid_sample_normalized(img2, g2x, g2y)
-    img1_a = packed[..., 0:3]
-    mask_a = packed[..., 3:4]
-    flow_s = packed[..., 4:6] / jnp.maximum(mask_a, 1e-8)  # (dy, dx)
+        img1_a = packed[..., 0:3]
+        mask_a = packed[..., 3:4]
+        flow_s = packed[..., 4:6] / jnp.maximum(mask_a, 1e-8)  # (dy, dx)
 
     # ---- induced flow-vector transform: F'(p) = T2^-1(T1 p + F~) - p ----
 

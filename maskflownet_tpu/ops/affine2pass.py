@@ -23,10 +23,13 @@ Per pass, measured on v5e at the augmentation shape (8x384x512x9 -> 448
 wide; /tmp profiles, round 3):
 
   1. per-line offset -> integer ``base`` + fraction. Lines are grouped in
-     blocks of G=16; one contiguous-slab gather per BLOCK (192 descriptors,
-     lane-merged (W*C) minor axis) costs ~1.9 ms — the naive per-line
-     vmap(dynamic_slice) was 97 ms (XLA serializes it) and per-pixel
-     take_along_axis 44 ms.
+     blocks of G=128; one contiguous-slab gather per BLOCK — the naive
+     per-line vmap(dynamic_slice) was 97 ms (XLA serializes it), per-pixel
+     take_along_axis 44 ms, and per-ROW single-gather ~10 ms. The gather is
+     descriptor-SERIALIZATION bound on this backend (~60-70 GB/s effective
+     regardless of payload shape; round-4 sweep: G=8/16/32/64/128/192 ->
+     13.2/8.3/6.6/4.8/4.2/5.5 ms for the full aug pair), so the fewest,
+     largest descriptors win until roll cost takes over past G~128.
   2. the within-block residual (<= ceil(|slope| * G), slope = b/d or c,
      < 1 for augmentation-strength transforms) is applied by binary
      powers-of-two rolls — dense ``where(bit, shift_k, x)`` selects.
@@ -57,7 +60,7 @@ import jax.numpy as jnp
 
 Array = jax.Array
 
-_BLOCK = 16
+_BLOCK = 128
 
 
 def _resample_axis2(img: Array, scale: Array, off: Array, out_len: int,
@@ -70,7 +73,7 @@ def _resample_axis2(img: Array, scale: Array, off: Array, out_len: int,
     + 2; ``slack`` >= max |off[n, r+1] - off[n, r]| * (BLOCK - 1) + 1.
     """
     n, r, length, c = img.shape
-    g = _BLOCK
+    g = min(_BLOCK, max(8, r))  # don't pad tiny line counts up to 128
     rp = -(-r // g) * g
     if rp != r:
         img = jnp.pad(img, ((0, 0), (0, rp - r), (0, 0), (0, 0)))
@@ -125,7 +128,11 @@ def _resample_axis2(img: Array, scale: Array, off: Array, out_len: int,
     for k in range(3):
         bk = jax.vmap(lambda sl, ix: jnp.take(sl, ix, axis=1))(
             slab, jnp.clip(j0 + k, 0, wt - 1))              # (N, RP, O, C)
-        term = jnp.maximum(0.0, 1.0 - jnp.abs(s - k)) * bk
+        # hat weights computed in f32, applied in the slab dtype so bf16
+        # inputs stay bf16 end to end (the weight cast costs ~0.4% relative
+        # on image channels; label channels are sampled in f32)
+        w = jnp.maximum(0.0, 1.0 - jnp.abs(s - k)).astype(slab.dtype)
+        term = w * bk
         out = term if out is None else out + term
     return out[:, :r]
 

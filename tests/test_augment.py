@@ -231,9 +231,11 @@ def test_geometry_pallas_sampler_matches_xla(monkeypatch):
 def test_geometry_twopass_sampler_matches_xla(monkeypatch):
     """The two-pass affine resampler path (MFN_AUG_SAMPLER=twopass; the TPU
     default) must reproduce the XLA gather path up to the documented
-    differences: a ~1px boundary band (shear-direction zero leak) and the
+    differences: a ~1px boundary band (shear-direction zero leak), the
     sheared-vs-axis interpolation stencil (tiny on real content, bounded on
-    noise). Compare on the interior."""
+    noise), and the round-4 precision split -- image channels sampled in
+    bf16 (ulp ~0.008 at values near 1), labels in f16. Compare on the
+    interior."""
     from maskflownet_tpu.augment.geometry import geometry_augmentation
 
     rng = np.random.RandomState(12)
@@ -260,8 +262,8 @@ def test_geometry_twopass_sampler_matches_xla(monkeypatch):
     got = geometry_augmentation(key, img1, img2, flow, mask, cfg)
 
     sl = (slice(None), slice(2, -2), slice(2, -2))
-    for name, r, g, tol in (("img1", ref[0], got[0], 5e-3),
-                            ("img2", ref[1], got[1], 5e-3),
+    for name, r, g, tol in (("img1", ref[0], got[0], 2e-2),
+                            ("img2", ref[1], got[1], 2e-2),
                             ("mask", ref[3], got[3], 5e-3)):
         np.testing.assert_allclose(np.asarray(g)[sl], np.asarray(r)[sl],
                                    atol=tol, err_msg=name)
@@ -331,3 +333,87 @@ def test_twopass_bounds_unsound_rotation_falls_back(monkeypatch):
     ref = geometry_augmentation(key, img1, img2, flow, mask, wild)
     for g, r in zip(got, ref):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
+
+
+def test_twopass_flow_label_error_bound(monkeypatch):
+    """VERDICT r3 W6 + round-4 f16 labels: bound the augmented flow LABEL
+    error specifically -- through the f16 sampling of (mask, flow*mask) AND
+    the mask-renormalization division -- at KITTI-scale flow magnitudes
+    (~300 px), against the exact f32 gather path. Interior error must stay
+    within the f16 quantization class of the wire format (engine.py ships
+    flow as f16); the boundary band is excluded like the reference's valid
+    masks exclude it."""
+    from maskflownet_tpu.augment.geometry import geometry_augmentation
+
+    rng = np.random.RandomState(7)
+    b, oh, ow, th, tw = 2, 64, 96, 48, 64
+    cfg = GeometryAugConfig(target_shape=(th, tw), orig_shape=(oh, ow))
+    yy, xx = np.mgrid[0:oh, 0:ow].astype(np.float32)
+    # smooth, large-magnitude flow: ~300 px with gentle spatial variation
+    flow = np.stack([np.stack([280.0 + np.sin(yy / 9) * 30,
+                               -310.0 + np.cos(xx / 11) * 25], axis=-1)] * b)
+    img1 = jnp.asarray(rng.rand(b, oh, ow, 3).astype(np.float32))
+    img2 = jnp.asarray(rng.rand(b, oh, ow, 3).astype(np.float32))
+    flow = jnp.asarray(flow.astype(np.float32))
+    mask = jnp.ones((b, oh, ow, 1), jnp.float32)
+    key = jax.random.PRNGKey(13)
+
+    monkeypatch.setenv("MFN_AUG_SAMPLER", "xla")
+    ref = geometry_augmentation(key, img1, img2, flow, mask, cfg)
+    monkeypatch.setenv("MFN_AUG_SAMPLER", "twopass")
+    got = geometry_augmentation(key, img1, img2, flow, mask, cfg)
+
+    m = (np.asarray(ref[3])[..., 0] > 0.999) \
+        & (np.asarray(got[3])[..., 0] > 0.999)
+    m[:, :3] = m[:, -3:] = False
+    m[:, :, :3] = m[:, :, -3:] = False
+    err = np.abs(np.asarray(got[2]) - np.asarray(ref[2]))[m]
+    # f16 ulp at 300 px is ~0.25; a few roundings through the two passes
+    # plus the renormalization division stay within ~1 px worst-case and
+    # well under the wire quantization on average
+    assert err.max() < 1.0, err.max()
+    assert np.median(err) < 0.15, np.median(err)
+    # escape hatch: f32 labels restore the r3 (stencil-only) error class
+    monkeypatch.setenv("MFN_AUG_LABEL_DTYPE", "float32")
+    got32 = geometry_augmentation(key, img1, img2, flow, mask, cfg)
+    err32 = np.abs(np.asarray(got32[2]) - np.asarray(ref[2]))[m]
+    assert err32.max() < 0.35, err32.max()
+
+
+def test_twopass_tight_bounds_sound_at_extreme_zoom(monkeypatch):
+    """The round-4 clamp-aware static window bounds (geometry.py
+    _twopass_bounds) must remain SOUND: at the most adversarial draws the
+    derivation covers (max zoom at zero rotation -- where the crop-fit
+    clamp binds least -- and max relative scale), the two-pass output must
+    still match the exact gather path on the interior. An unsound bound
+    would clip sample positions and black out/shift whole regions."""
+    from maskflownet_tpu.augment.geometry import geometry_augmentation
+
+    rng = np.random.RandomState(5)
+    b, oh, ow, th, tw = 4, 64, 96, 48, 64
+    # rotation pinned ~0, zoom pinned at its max, aspect at max: the exact
+    # corner where the old config-product bound was loosest vs the new one
+    cfg = GeometryAugConfig(angle_range=(-0.01, 0.01),
+                            zoom_range=(1 / 0.9 - 1e-4, 1 / 0.9),
+                            aspect_range=(1 / 0.9 - 1e-4, 1 / 0.9),
+                            relative_scale=(1 / 0.96 - 1e-4, 1 / 0.96),
+                            target_shape=(th, tw), orig_shape=(oh, ow))
+    yy, xx = np.mgrid[0:oh, 0:ow].astype(np.float32)
+    tex = np.stack([np.sin(yy / 5) * np.cos(xx / 6),
+                    (yy + xx) / (oh + ow),
+                    np.cos(yy / 7 + xx / 4)], axis=-1).astype(np.float32)
+    img1 = jnp.asarray(np.stack([tex * (0.5 + 0.1 * i) for i in range(b)]))
+    img2 = img1 * 0.9
+    flow = jnp.asarray((rng.randn(b, oh, ow, 2) * 0.5).astype(np.float32))
+    mask = jnp.ones((b, oh, ow, 1), jnp.float32)
+
+    for seed in (0, 1, 2):
+        key = jax.random.PRNGKey(seed)
+        monkeypatch.setenv("MFN_AUG_SAMPLER", "xla")
+        ref = geometry_augmentation(key, img1, img2, flow, mask, cfg)
+        monkeypatch.setenv("MFN_AUG_SAMPLER", "twopass")
+        got = geometry_augmentation(key, img1, img2, flow, mask, cfg)
+        sl = (slice(None), slice(2, -2), slice(2, -2))
+        for name, r, g in (("img1", ref[0], got[0]), ("img2", ref[1], got[1])):
+            np.testing.assert_allclose(np.asarray(g)[sl], np.asarray(r)[sl],
+                                       atol=2e-2, err_msg=f"{name}@{seed}")
