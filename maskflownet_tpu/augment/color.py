@@ -65,7 +65,11 @@ def _eigen_matrix(key: Array, b: int) -> Array:
 
 def color_augmentation(key: Array, img1: Array, img2: Array,
                        cfg: ColorAugConfig) -> tuple[Array, Array]:
-    """img1/img2: (B, H, W, 3) in [0, 1]. Returns augmented pair."""
+    """img1/img2: (B, H, W, 3) in [0, 1]. Returns augmented pair.
+
+    Dtype-preserving: the per-pixel passes run in the input dtype (the
+    training engine feeds bf16 so the full-res chain stays half-width,
+    round 4); parameter draws and the per-image means stay f32."""
     b = img1.shape[0]
     ks = jax.random.split(key, 9)
 
@@ -89,16 +93,21 @@ def color_augmentation(key: Array, img1: Array, img2: Array,
     noise_keys = jax.random.split(ks[8], 2)
     out = []
     for img, nk in zip((img1, img2), noise_keys):
-        x = img.astype(jnp.float32)
-        x = jnp.einsum("bhwc,bkc->bhwk", x, sh)
-        x = x + jax.random.normal(nk, x.shape, jnp.float32) * noise_sigma
-        mean = jnp.mean(x, axis=(1, 2), keepdims=True)
-        x = (x - mean) * (contrast * channel)
+        x = img
+        dt = x.dtype
+        x = jnp.einsum("bhwc,bkc->bhwk", x, sh.astype(dt),
+                       preferred_element_type=dt)
+        x = x + jax.random.normal(nk, x.shape, dt) * noise_sigma.astype(dt)
+        mean = jnp.mean(x, axis=(1, 2), keepdims=True,
+                        dtype=jnp.float32).astype(dt)
+        x = (x - mean) * (contrast * channel).astype(dt)
         if eig is not None:
-            x = jnp.einsum("bhwc,bkc->bhwk", x, eig)
-        x = x + mean * channel + brightness
+            x = jnp.einsum("bhwc,bkc->bhwk", x, eig.astype(dt),
+                           preferred_element_type=dt)
+        x = x + (mean.astype(jnp.float32) * channel
+                 + brightness).astype(dt)
         x = jnp.clip(x, 0.0, 1.0)
         if cfg.gamma_range is not None:
-            x = x ** jnp.exp(gamma)
+            x = x ** jnp.exp(gamma).astype(dt)
         out.append(x)
     return out[0], out[1]

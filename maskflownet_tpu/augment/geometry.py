@@ -59,10 +59,11 @@ def _sampler_mode() -> str:
     """Which resampler implements the two grid samplings.
 
     'twopass' (TPU default): the dense two-pass affine resampler
-    (``ops/affine2pass.py``) — per-line slab gathers + static takes, ~100x
-    fewer gather descriptors than per-pixel formulations (measured: the
-    gather path costs ~57 ms of the chairs b8 step; the windowed Pallas
-    kernel ~48 ms; two-pass runs in the dense-op noise). 'pallas': the
+    (``ops/affine2pass.py``) — per-block slab gathers + static takes,
+    ~1000x fewer gather descriptors than per-pixel formulations
+    (measured at chairs b8: per-pixel gather ~57 ms, windowed Pallas
+    kernel ~48 ms, round-3 two-pass 15.7 ms, round-4 two-pass ~3 ms of
+    the step — G=128 blocks + bf16 images/f16 labels). 'pallas': the
     windowed MXU kernel. 'xla': per-pixel gather (always used off-TPU —
     CPU gathers are fast and exact). Override with MFN_AUG_SAMPLER.
     """
@@ -203,10 +204,16 @@ def _pick_sampler(cfg: "GeometryAugConfig", orig: tuple[int, int],
 
 
 def geometry_augmentation(key: Array, img1: Array, img2: Array, flow: Array,
-                          mask: Array, cfg: GeometryAugConfig):
+                          mask: Array, cfg: GeometryAugConfig,
+                          image_dtype=None):
     """img1/img2: (B, oh, ow, 3); flow: (B, oh, ow, 2) (dy, dx) source px;
     mask: (B, oh, ow, 1) in [0,1] (or broadcastable). Returns the augmented
-    tuple at ``cfg.target_shape`` resolution."""
+    tuple at ``cfg.target_shape`` resolution.
+
+    ``image_dtype``: dtype of the returned *images* (flow/mask stay f32).
+    Defaults to f32; the training engine passes its compute dtype (bf16) so
+    the whole post-aug image chain (color aug, centralize, model input)
+    runs half-width with no round trip through f32 (round 4)."""
     b, oh, ow, _ = img1.shape
     th, tw = cfg.target_shape
     assert (oh, ow) == tuple(cfg.orig_shape), (img1.shape, cfg.orig_shape)
@@ -349,8 +356,9 @@ def geometry_augmentation(key: Array, img1: Array, img2: Array, flow: Array,
             imgs, jnp.concatenate([m1, m2], axis=0),
             jnp.concatenate([t1, t2], axis=0), th, tw, sx_max=sx_max,
             sy_max=sy_max, shear_max=shear_max)
-        img1_a = imgs_a[:b].astype(jnp.float32)
-        img2_a = imgs_a[b:].astype(jnp.float32)
+        out_dt = image_dtype or jnp.float32
+        img1_a = imgs_a[:b].astype(out_dt)
+        img2_a = imgs_a[b:].astype(out_dt)
         lab = jnp.concatenate(
             [mask_b, flow.astype(jnp.float32) * mask_b],
             axis=-1).astype(lab_dtype)
@@ -370,7 +378,9 @@ def geometry_augmentation(key: Array, img1: Array, img2: Array, flow: Array,
         else:
             packed = grid_sample_normalized(packed, g1x, g1y)
             img2_a = grid_sample_normalized(img2, g2x, g2y)
-        img1_a = packed[..., 0:3]
+        out_dt = image_dtype or jnp.float32
+        img1_a = packed[..., 0:3].astype(out_dt)
+        img2_a = img2_a.astype(out_dt)
         mask_a = packed[..., 3:4]
         flow_s = packed[..., 4:6] / jnp.maximum(mask_a, 1e-8)  # (dy, dx)
 

@@ -69,8 +69,39 @@ def _pyramid(ctx: nn.Ctx, x: Array, names: tuple[str, str, str] = ("a", "b", "c"
     return feats
 
 
+def _pyramid_pair(ctx: nn.Ctx, xa: Array, xb: Array,
+                  names: tuple[str, str, str] = ("a", "b", "c")):
+    """The two shared-weight pyramids over an image pair, computed as ONE
+    batched pyramid over ``concat([xa, xb], axis=0)`` and split per level.
+
+    Exactly the same math (convs are independent along batch; the shared
+    wgrad is the sum either way), but each of the 18 convs runs once at 2B
+    instead of twice at B: on v5e the small-level convs are bound by a
+    ~40 us/op fixed overhead, not FLOPs (round-4 probe: levels 4-6 sit at
+    3-7 TFLOP/s for trivial FLOP counts), so halving the op count saves
+    ~1.5 ms/step of pure overhead in fwd+bwd."""
+    b = xa.shape[0]
+    feats = _pyramid(ctx, jnp.concatenate([xa, xb], axis=0), names)
+    return [f[:b] for f in feats], [f[b:] for f in feats]
+
+
 def _dense_block(ctx: nn.Ctx, lvl: int, x: Array) -> Array:
-    """Five concat convs (reference ``MaskFlownet.py:219-223`` pattern)."""
+    """Five concat convs (reference ``MaskFlownet.py:219-223`` pattern).
+
+    On TPU each conv is computed as a sum of per-piece convs with sliced
+    weights instead of conv-over-concat -- same parameters and math (up to
+    bf16 summation order), but ~1.3 ms/step cheaper: the growing
+    concatenations are a major source of XLA layout copies (round-4
+    profile; see ``nn.conv_pieces``). ``MFN_DENSE=concat|pieces``
+    overrides."""
+    import os
+    mode = os.environ.get("MFN_DENSE") or (
+        "pieces" if jax.default_backend() == "tpu" else "concat")
+    if mode == "pieces":
+        pieces = [x]
+        for j, ch in enumerate(DENSE_CH):
+            pieces.insert(0, nn.conv_pieces(ctx, f"conv{lvl}_{j}", pieces, ch))
+        return jnp.concatenate(pieces, axis=-1)
     for j, ch in enumerate(DENSE_CH):
         x = jnp.concatenate([nn.conv(ctx, f"conv{lvl}_{j}", x, ch), x], axis=-1)
     return x
@@ -96,6 +127,28 @@ def _pred_mask(ctx: nn.Ctx, lvl, x: Array) -> Array:
     return nn.conv(ctx, f"pred_mask{lvl}", x, 1, act=False).astype(jnp.float32)
 
 
+def _pred_flow_mask(ctx: nn.Ctx, lvl, x: Array) -> tuple[Array, Array]:
+    """Both prediction heads as ONE 3-channel conv over the shared dense
+    output, with the two weights concatenated at trace time -- identical
+    parameters (separate ``pred_flow{lvl}``/``pred_mask{lvl}`` entries,
+    checkpoint-compatible) and identical math; halves the per-op overhead
+    of the head convs (round 4: small convs here are ~40 us/op fixed-cost
+    bound, not FLOPs)."""
+    cin = x.shape[-1]
+    wf = ctx.param(f"pred_flow{lvl}/w", (3, 3, cin, 2), nn.msra_prelu())
+    bf = ctx.param(f"pred_flow{lvl}/b", (2,), nn.zeros_init)
+    wm = ctx.param(f"pred_mask{lvl}/w", (3, 3, cin, 1), nn.msra_prelu())
+    bm = ctx.param(f"pred_mask{lvl}/b", (1,), nn.zeros_init)
+    w = jnp.concatenate([wf, wm], axis=3)
+    b = jnp.concatenate([bf, bm])
+    y = jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype) + b.astype(x.dtype)
+    y = y.astype(jnp.float32)
+    return y[..., 0:2], y[..., 2:3]
+
+
 def maskflownet_s(ctx: nn.Ctx, im1: Array, im2: Array,
                   cfg: ModelConfig = ModelConfig()):
     """MaskFlownet-S forward (reference ``MaskFlownet.py:197-315``).
@@ -112,8 +165,7 @@ def maskflownet_s(ctx: nn.Ctx, im1: Array, im2: Array,
     im1 = im1.astype(dtype)
     im2 = im2.astype(dtype)
 
-    c1s = _pyramid(ctx, im1)
-    c2s = _pyramid(ctx, im2)
+    c1s, c2s = _pyramid_pair(ctx, im1, im2)
     c11, c12, c13, c14, c15, c16 = c1s
     c21, c22, c23, c24, c25, c26 = c2s
 
@@ -122,8 +174,7 @@ def maskflownet_s(ctx: nn.Ctx, im1: Array, im2: Array,
     # into the Pallas kernel epilogue
     corr6 = correlation(c16, c26, md, leaky=0.1)
     x = _dense_block(ctx, 6, corr6)
-    flow = _pred_flow(ctx, 6, x)
-    mask = _pred_mask(ctx, 6, x)
+    flow, mask = _pred_flow_mask(ctx, 6, x)
     flows = [flow]
 
     # ---- levels 5..2 ----
@@ -132,8 +183,8 @@ def maskflownet_s(ctx: nn.Ctx, im1: Array, im2: Array,
         c1l, c2l = level_feats[lvl]
         stride = STRIDES[idx + 1]
         feat = nn.deconv(ctx, f"upfeat{lvl}", x, cfg.upfeat_ch[idx])
-        flow = upsample(flow, 2)
-        mask = upsample(mask, 2)
+        fm = upsample(jnp.concatenate([flow, mask], axis=-1), 2)
+        flow, mask = fm[..., 0:2], fm[..., 2:3]
         offsets = flow * (cfg.scale / stride)  # level-pixel units, f32
         warp = deform_conv(ctx, f"deform{lvl}", c2l, offsets, c2l.shape[-1],
                            use_bias=cfg.deform_bias)
@@ -144,11 +195,13 @@ def maskflownet_s(ctx: nn.Ctx, im1: Array, im2: Array,
         corr = correlation(c1l, warp, md, leaky=0.1)
         x = jnp.concatenate([corr, c1l, feat, flow.astype(dtype)], axis=-1)
         x = _dense_block(ctx, lvl, x)
-        flow = flow + _pred_flow(ctx, lvl, x)
         if lvl > 2:
-            mask = _pred_mask(ctx, lvl, x)
-        # at level 2 the gate mask stays the upsampled mask3 (no pred_mask2,
-        # reference MaskFlownet.py:281-296)
+            df, mask = _pred_flow_mask(ctx, lvl, x)
+            flow = flow + df
+        else:
+            # at level 2 the gate mask stays the upsampled mask3 (no
+            # pred_mask2, reference MaskFlownet.py:281-296)
+            flow = flow + _pred_flow(ctx, lvl, x)
         flows.append(flow)
 
     # ---- context network ----
@@ -200,8 +253,7 @@ def maskflownet(ctx: nn.Ctx, im1: Array, im2: Array,
     c11, c12, c13, c14, c15, c16 = c1s
     c21, c22, c23, c24, c25, c26 = c2s
 
-    c3s = _pyramid(ctx, c30, names=("x", "y", "z"))
-    c4s = _pyramid(ctx, c40, names=("x", "y", "z"))
+    c3s, c4s = _pyramid_pair(ctx, c30, c40, names=("x", "y", "z"))
 
     # ---- level 6 ----
     flow = head_flows[0]

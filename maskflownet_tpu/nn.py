@@ -162,6 +162,32 @@ def conv(ctx: Ctx, name: str, x: Array, cout: int, *, k: int = 3,
     return leaky_relu(y) if act else y
 
 
+def conv_pieces(ctx: Ctx, name: str, pieces: list[Array], cout: int,
+                *, act: bool = True) -> Array:
+    """`conv(ctx, name, concat(pieces, -1), cout)` computed WITHOUT
+    materializing the concat: one conv per piece with the weight sliced
+    along its input-channel axis, summed. Identical parameters (a single
+    (3,3,sum(cin),cout) weight -- checkpoint-compatible) and identical math
+    up to bf16 summation order. Used by the dense blocks (MFN_DENSE=pieces)
+    where the growing concatenations are a major source of XLA layout
+    copies (round-4 profile: ~7.5 ms/step of pure copies, concentrated on
+    the level-2 dense activations)."""
+    cin = sum(p.shape[-1] for p in pieces)
+    w = ctx.param(f"{name}/w", (3, 3, cin, cout), msra_prelu())
+    b = ctx.param(f"{name}/b", (cout,), zeros_init)
+    off = 0
+    acc = None
+    for p in pieces:
+        ww = lax.slice_in_dim(w, off, off + p.shape[-1], axis=2)
+        y = lax.conv_general_dilated(
+            p, ww, window_strides=(1, 1), padding=[(1, 1), (1, 1)],
+            dimension_numbers=_DN, preferred_element_type=p.dtype)
+        acc = y if acc is None else acc + y
+        off += p.shape[-1]
+    acc = acc + b
+    return leaky_relu(acc) if act else acc
+
+
 def deconv(ctx: Ctx, name: str, x: Array, cout: int, *, k: int = 4,
            stride: int = 2, pad: int = 1, act: bool = True) -> Array:
     """Transposed conv (kernel 4, stride 2, pad 1 -> exact 2x upsample),

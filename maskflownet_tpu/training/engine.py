@@ -64,9 +64,11 @@ def sync_metrics(metrics: dict) -> dict[str, float]:
 
 def centralize(img1: Array, img2: Array):
     """Subtract the per-sample mean RGB of the image pair (reference
-    ``pipeline.py:85-87``)."""
+    ``pipeline.py:85-87``). Dtype-preserving (the train step feeds bf16);
+    the mean itself accumulates in f32."""
     both = jnp.concatenate([img1, img2], axis=1)
-    mean = jnp.mean(both, axis=(1, 2), keepdims=True)
+    mean = jnp.mean(both, axis=(1, 2), keepdims=True,
+                    dtype=jnp.float32).astype(img1.dtype)
     return img1 - mean, img2 - mean, mean
 
 
@@ -111,8 +113,14 @@ class Trainer:
             mask = mask.astype(jnp.float32) / 255.0
             kg, kc = jax.random.split(key)
             if geo is not None:
+                # images come back in the compute dtype so the whole
+                # post-aug image chain (color, centralize, model) runs
+                # half-width; labels stay f32
                 img1, img2, flow, mask = geometry_augmentation(
-                    kg, img1, img2, flow, mask, geo)
+                    kg, img1, img2, flow, mask, geo, image_dtype=dtype)
+            else:
+                img1 = img1.astype(dtype)
+                img2 = img2.astype(dtype)
             # mask may arrive broadcastable (B,1,1,1) to cut host->device
             # bytes; materialize to full resolution for the loss
             mask = jnp.broadcast_to(mask, flow.shape[:3] + (1,))

@@ -381,3 +381,62 @@ def test_device_batch_cache_serves_and_refreshes():
     vals = {int(np.asarray(b[0])[0, 0, 0, 0]) for b in got}
     assert vals <= set(range(n_src))
     cache.stop()
+
+
+def test_things3d_lazy_listing_and_loader(tmp_path, monkeypatch):
+    """Things3D is path-listed and decoded lazily through a bounded LRU
+    (VERDICT r3 #8): the Dataset holds file paths, loader threads decode on
+    demand, and the cache stays within its configured entry bound -- the
+    reference instead decodes the whole ~400 GB shard into RAM up front
+    (main.py:280-296)."""
+    import cv2
+
+    from maskflownet_tpu.data import things3d
+
+    root = tmp_path / "things3d"
+    cam = root / "train" / "image_clean" / "left"
+    flo = root / "train" / "flow" / "left" / "into_future"
+    cam.mkdir(parents=True)
+    flo.mkdir(parents=True)
+    h, w = things3d.SHAPE
+    rng = np.random.RandomState(0)
+    n = 5
+    for i in range(n + 1):
+        img = rng.randint(0, 255, (h, w, 3), dtype=np.uint8)
+        cv2.imwrite(str(cam / ("%07d.png" % i)), img)
+    for i in range(n):
+        arr = (rng.randn(h, w, 2) * 3).astype(np.float32)
+        codecs.flo_save(arr, str(flo / ("%07d.flo" % i)))
+
+    monkeypatch.setenv("MFN_THINGS3D_ROOT", str(root))
+    monkeypatch.setenv("MFN_THINGS3D_CACHE", "4")
+    things3d._loader.cache_clear()  # re-read the env-configured bound
+
+    listing = things3d.list_data()
+    assert len(listing["flow"]) == n
+    # into_future pairing: image_1 is frame index + 1
+    assert listing["image_0"][0].endswith("0000000.png")
+    assert listing["image_1"][0].endswith("0000001.png")
+    # entries are PATHS (lazy), not arrays
+    assert all(isinstance(p, str) for p in listing["image_0"])
+
+    # flow decodes to f16 (cache-compact, reference main.py:297 parity)
+    fl = things3d.load(listing["flow"][0])
+    assert fl.dtype == np.float16 and fl.shape == (h, w, 2)
+    im = things3d.load(listing["image_0"][0])
+    assert im.dtype == np.uint8 and im.shape == (h, w, 3)
+
+    # the LRU stays bounded at the configured entry count
+    for p in listing["flow"] + listing["image_0"][:n]:
+        things3d.load(p)
+    info = things3d._loader().cache_info()
+    assert info.maxsize == 4 and info.currsize <= 4, info
+
+    # end-to-end: TrainLoader over the lazy Dataset yields crop+flip batches
+    ds = Dataset((listing["image_0"], listing["image_1"], listing["flow"]),
+                 load=things3d.load)
+    loader = TrainLoader([ds], batch_size=2, orig_shape=(384, 768), seed=3)
+    b = loader.get()
+    assert b[0].shape == (2, 384, 768, 3)
+    assert b[2].shape == (2, 384, 768, 2)
+    assert np.isfinite(b[2].astype(np.float32)).all()
