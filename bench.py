@@ -152,13 +152,27 @@ def main():
     prefetch.stop()
 
     # ---- FLOPs + MFU from XLA cost analysis (headline step) ----
+    # Counted on an MFN_S2D=0 lowering of the SAME step: the space-to-depth
+    # level-1 path (the TPU default since round 4) adds zero-weight taps
+    # whose FLOPs the cost model counts but which do no useful work --
+    # counting them would inflate MFU by ~4%. The s2d=0 program is the
+    # canonical FLOP count (and what rounds 1-3 reported).
     flops = mfu = None
     try:
         import jax.numpy as jnp
         key = jax.random.PRNGKey(0)
-        lowered = trainer._train_step.lower(
-            trainer.params, trainer.opt_state, *const_batch, key,
-            jnp.asarray(1e-4, jnp.float32))
+        prev_s2d = os.environ.get("MFN_S2D")
+        os.environ["MFN_S2D"] = "0"
+        try:
+            flops_trainer = Trainer(settings)
+            lowered = flops_trainer._train_step.lower(
+                flops_trainer.params, flops_trainer.opt_state, *const_batch,
+                key, jnp.asarray(1e-4, jnp.float32))
+        finally:
+            if prev_s2d is None:
+                os.environ.pop("MFN_S2D", None)
+            else:
+                os.environ["MFN_S2D"] = prev_s2d
         ca = lowered.compile().cost_analysis()
         if isinstance(ca, list):
             ca = ca[0]

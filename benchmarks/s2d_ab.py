@@ -1,0 +1,81 @@
+"""A/B the space-to-depth level-1 pyramid (MFN_S2D) on the real chip.
+
+The C=16 half-resolution pyramid activations move 8x tile-inflated through
+HBM in standard NHWC form (see nn.conv_s2d_in); the s2d form cuts that to
+2x at the price of ~4x zero-tap FLOPs on a few GFLOP of convs. This times
+the full compiled train step both ways (host-geo configuration, then the
+aug-inclusive configuration) plus the batched pyramid-pair forward alone.
+
+Run: ``python benchmarks/s2d_ab.py``
+"""
+import os, sys, time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax, jax.numpy as jnp, numpy as np
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache_tpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+from step_ablation import make_trainer, device_batch, time_step  # noqa: E402
+
+from maskflownet_tpu import nn  # noqa: E402
+from maskflownet_tpu.config import presets  # noqa: E402
+from maskflownet_tpu.models import ModelConfig  # noqa: E402
+from maskflownet_tpu.models.maskflownet import _pyramid_pair  # noqa: E402
+from maskflownet_tpu.training import Trainer, TrainSettings  # noqa: E402
+
+TH, TW, B = 320, 448, 8
+
+
+def time_pyramid(params, img1, img2, iters=50):
+    @jax.jit
+    def f(params, i1, i2):
+        ctx = nn.apply_ctx(params, compute_dtype=jnp.bfloat16)
+        c1s, c2s = _pyramid_pair(ctx, i1.astype(jnp.bfloat16),
+                                 i2.astype(jnp.bfloat16))
+        return [jnp.sum(jnp.abs(c)) for c in c1s + c2s]
+
+    r = f(params, img1, img2)
+    jax.block_until_ready(r)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = f(params, img1, img2)
+    jax.block_until_ready(r)
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def main():
+    batch = device_batch()
+    rng = np.random.RandomState(0)
+    i1 = jnp.asarray(rng.rand(B, TH, TW, 3).astype(np.float32))
+    i2 = jnp.asarray(rng.rand(B, TH, TW, 3).astype(np.float32))
+
+    for flag in ("0", "1"):
+        os.environ["MFN_S2D"] = flag
+        tr = make_trainer()
+        ms = time_step(tr, batch, iters=50)
+        pyr = time_pyramid(tr.params, i1, i2)
+        # aug-inclusive step (the bench.py headline program)
+        tr_aug = Trainer(TrainSettings(
+            model="MaskFlownet_S", model_cfg=ModelConfig(),
+            compute_dtype="bfloat16", target_shape=(TH, TW),
+            orig_shape=(384, 512),
+            geo=presets.geometry_aug_config("chairs", (TH, TW), (384, 512)),
+            color=presets.color_aug_config("chairs")))
+        rngo = np.random.RandomState(1)
+        ob = (jnp.asarray(rngo.randint(0, 255, (B, 384, 512, 3)).astype(np.uint8)),
+              jnp.asarray(rngo.randint(0, 255, (B, 384, 512, 3)).astype(np.uint8)),
+              jnp.asarray((rngo.randn(B, 384, 512, 2) * 4).astype(np.float16)),
+              jnp.asarray(np.full((B, 1, 1, 1), 255, np.uint8)))
+        ms_aug = time_step(tr_aug, ob, iters=50)
+        print(f"MFN_S2D={flag}: step(host-aug) {ms:.2f} ms  "
+              f"step(aug-incl) {ms_aug:.2f} ms  pyramid-pair fwd {pyr:.2f} ms",
+              flush=True)
+        del tr, tr_aug
+
+
+if __name__ == "__main__":
+    main()

@@ -56,12 +56,46 @@ PYRAMID_CH = (16, 32, 64, 96, 128, 196)
 DENSE_CH = (128, 128, 96, 64, 32)
 
 
+def _use_s2d(x: Array) -> bool:
+    """Whether the level-1 pyramid runs in space-to-depth form (see
+    ``nn.conv_s2d_in``): the C=16 half-resolution activations otherwise move
+    8x tile-inflated through HBM. Exact same math against the same stored
+    parameters; ``MFN_S2D=0|1`` overrides the TPU default."""
+    import os
+    if x.shape[1] % 4 or x.shape[2] % 4:
+        return False
+    v = os.environ.get("MFN_S2D")
+    if v is not None:
+        return v not in ("0", "false")
+    return jax.default_backend() == "tpu"
+
+
 def _pyramid(ctx: nn.Ctx, x: Array, names: tuple[str, str, str] = ("a", "b", "c")) -> list[Array]:
     """6-level feature pyramid, 3 convs per level with stride-2 first conv
     (reference ``MaskFlownet.py:79-96``; cascade variant uses x/y/z names,
-    ``:332-349``). Returns [c1 .. c6] (1/2 .. 1/64 resolution)."""
+    ``:332-349``). Returns [c1 .. c6] (1/2 .. 1/64 resolution).
+
+    On TPU the level-1 trio runs in space-to-depth form and ``conv2a``
+    consumes it directly (``nn.conv_from_s2d``), so the 8x-tile-inflated
+    C=16 feature maps never round-trip HBM in padded layout; the
+    depth-to-space'd ``c1`` placed in ``feats`` is only materialized if a
+    consumer actually uses it (levels 2..6 are the only ones the decoders
+    read, so XLA dead-code-eliminates it in training)."""
     feats = []
-    for i, ch in enumerate(PYRAMID_CH, start=1):
+    start = 1
+    if _use_s2d(x):
+        ch1, ch2 = PYRAMID_CH[0], PYRAMID_CH[1]
+        z = nn.conv_s2d_in(ctx, f"conv1{names[0]}", x, ch1)
+        z = nn.conv_s2d(ctx, f"conv1{names[1]}", z, ch1)
+        z = nn.conv_s2d(ctx, f"conv1{names[2]}", z, ch1)
+        feats.append(nn.depth_to_space(z, 2))
+        x = nn.conv_from_s2d(ctx, f"conv2{names[0]}", z, ch2)
+        x = nn.conv(ctx, f"conv2{names[1]}", x, ch2)
+        x = nn.conv(ctx, f"conv2{names[2]}", x, ch2)
+        feats.append(x)
+        start = 3
+    for i in range(start, 7):
+        ch = PYRAMID_CH[i - 1]
         x = nn.conv(ctx, f"conv{i}{names[0]}", x, ch, stride=2)
         x = nn.conv(ctx, f"conv{i}{names[1]}", x, ch)
         x = nn.conv(ctx, f"conv{i}{names[2]}", x, ch)

@@ -210,3 +210,122 @@ def deconv(ctx: Ctx, name: str, x: Array, cout: int, *, k: int = 4,
         preferred_element_type=x.dtype)
     y = y + b
     return leaky_relu(y) if act else y
+
+
+# ---------------------------------------------------------------------------
+# Space-to-depth conv family (shallow-channel bandwidth optimization)
+# ---------------------------------------------------------------------------
+#
+# Level-1 pyramid activations (C=16 at half resolution) are the most
+# bandwidth-hostile tensors in the network: on TPU the channel axis pads to
+# the 128-lane tile, so every HBM byte of a C=16 bf16 feature map is moved
+# 8x inflated (round-4 op probes: the level-1 convs sustain ~440 GB/s of
+# *tiled* bytes -- near HBM peak -- for 1/8 useful payload). The classic fix
+# (MLPerf-era TPU ResNet "fused space-to-depth") is to hold these features
+# in space-to-depth form -- (B, H/2, W/2, 4C), 2x2 spatial blocks folded
+# into channels -- so the tile padding drops from 8x to 2x, and to fold the
+# reshuffle into the convs themselves by expanding the stored 3x3 kernels
+# into equivalent kernels over the s2d layout at trace time.
+#
+# The three ops below are EXACT reformulations (same MACs against the same
+# stored (3,3,cin,cout)/(cout,) parameters -- checkpoint-compatible; only
+# zero-taps are added and the bf16 accumulation order changes):
+#
+#   conv_s2d_in   3x3 stride-2 conv from a raw image, output in s2d form:
+#                 a 2x2 conv over the 4x4-space-to-depth'd input.
+#   conv_s2d      3x3 stride-1 conv with input AND output in s2d form:
+#                 a 3x3 conv over (r,s,c)-folded channels.
+#   conv_from_s2d 3x3 stride-2 conv consuming an s2d input, standard output:
+#                 a 2x2 conv at the s2d resolution.
+#
+# Channel convention: s2d(x, f)[..., (r*f + s)*C + c] = x[..., f*i + r,
+# f*j + s, c] (row-major spatial blocks, channels fastest).
+
+
+def space_to_depth(x: Array, f: int) -> Array:
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // f, f, w // f, f, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // f, w // f, f * f * c)
+
+
+def depth_to_space(x: Array, f: int) -> Array:
+    b, h, w, fc = x.shape
+    c = fc // (f * f)
+    x = x.reshape(b, h, w, f, f, c).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h * f, w * f, c)
+
+
+def _tap(rg: int):
+    """Global row offset (relative to the 2x block origin) -> (kernel index
+    delta, within-block row) for a factor-2 s2d layout."""
+    return rg // 2, rg % 2  # python floor/mod: -1 -> (-1, 1)
+
+
+def conv_s2d_in(ctx: Ctx, name: str, x: Array, cout: int) -> Array:
+    """3x3 stride-2 conv + LeakyReLU from a raw (B,H,W,cin) input (H, W
+    divisible by 4) to s2d-form output (B, H/4, W/4, 4*cout).
+
+    out s2d block (p,q): rows 2p+dy relative to the 4-row input block, so a
+    2x2 kernel over the 4x4-s2d input (top/left zero pad 1) covers every
+    tap exactly once."""
+    cin = x.shape[-1]
+    w = ctx.param(f"{name}/w", (3, 3, cin, cout), msra_prelu())
+    b = ctx.param(f"{name}/b", (cout,), zeros_init)
+    wx = jnp.zeros((2, 2, 16 * cin, 4 * cout), w.dtype)
+    for p in range(2):
+        for q in range(2):
+            for dy in range(-1, 2):
+                for dx in range(-1, 2):
+                    rg, cg = 2 * p + dy, 2 * q + dx
+                    ki, r = (0, 3) if rg < 0 else (1, rg)
+                    kj, s = (0, 3) if cg < 0 else (1, cg)
+                    a, o = (r * 4 + s) * cin, (p * 2 + q) * cout
+                    wx = wx.at[ki, kj, a:a + cin, o:o + cout].set(
+                        w[dy + 1, dx + 1])
+    y = lax.conv_general_dilated(
+        space_to_depth(x, 4), wx, window_strides=(1, 1),
+        padding=[(1, 0), (1, 0)], dimension_numbers=_DN,
+        preferred_element_type=x.dtype)
+    return leaky_relu(y + jnp.tile(b, 4))
+
+
+def conv_s2d(ctx: Ctx, name: str, z: Array, cout: int) -> Array:
+    """3x3 stride-1 conv + LeakyReLU entirely in s2d form: (B,h,w,4*cin) ->
+    (B,h,w,4*cout). Logical cin = z.shape[-1] // 4."""
+    cin = z.shape[-1] // 4
+    w = ctx.param(f"{name}/w", (3, 3, cin, cout), msra_prelu())
+    b = ctx.param(f"{name}/b", (cout,), zeros_init)
+    wx = jnp.zeros((3, 3, 4 * cin, 4 * cout), w.dtype)
+    for p in range(2):
+        for q in range(2):
+            for dy in range(-1, 2):
+                for dx in range(-1, 2):
+                    di, r = _tap(p + dy)
+                    dj, s = _tap(q + dx)
+                    a, o = (r * 2 + s) * cin, (p * 2 + q) * cout
+                    wx = wx.at[di + 1, dj + 1, a:a + cin, o:o + cout].set(
+                        w[dy + 1, dx + 1])
+    y = lax.conv_general_dilated(
+        z, wx, window_strides=(1, 1), padding=[(1, 1), (1, 1)],
+        dimension_numbers=_DN, preferred_element_type=z.dtype)
+    return leaky_relu(y + jnp.tile(b, 4))
+
+
+def conv_from_s2d(ctx: Ctx, name: str, z: Array, cout: int) -> Array:
+    """3x3 stride-2 conv + LeakyReLU consuming an s2d input (B,h,w,4*cin),
+    producing a standard (B,h,w,cout) output (the s2d grid stride matches
+    the conv stride, so output resolution equals the s2d resolution)."""
+    cin = z.shape[-1] // 4
+    w = ctx.param(f"{name}/w", (3, 3, cin, cout), msra_prelu())
+    b = ctx.param(f"{name}/b", (cout,), zeros_init)
+    wx = jnp.zeros((2, 2, 4 * cin, cout), w.dtype)
+    for dy in range(-1, 2):
+        for dx in range(-1, 2):
+            di, r = _tap(dy)
+            dj, s = _tap(dx)
+            a = (r * 2 + s) * cin
+            wx = wx.at[di + 1, dj + 1, a:a + cin, :].set(w[dy + 1, dx + 1])
+    y = lax.conv_general_dilated(
+        z, wx, window_strides=(1, 1), padding=[(1, 0), (1, 0)],
+        dimension_numbers=_DN, preferred_element_type=z.dtype)
+    return leaky_relu(y + b)

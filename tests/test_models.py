@@ -120,3 +120,60 @@ def test_build_model():
     assert build_model("MaskFlownet") is maskflownet
     with pytest.raises(NotImplementedError):
         build_model("nope")
+
+
+def test_s2d_pyramid_parity(s_params, full_params, monkeypatch):
+    """The space-to-depth level-1 path (MFN_S2D=1, the TPU default) is an
+    EXACT reformulation of the standard convs against the same stored
+    parameters: same feature values at every pyramid level and same model
+    outputs, for both the S model and the cascade (second 4-ch pyramid)."""
+    from maskflownet_tpu.models.maskflownet import _pyramid
+
+    rng = np.random.RandomState(7)
+    im1 = jnp.asarray(rng.rand(2, H, W, 3), jnp.float32)
+    im2 = jnp.asarray(rng.rand(2, H, W, 3), jnp.float32)
+
+    def run(flag, model, params):
+        monkeypatch.setenv("MFN_S2D", flag)
+        ctx = nn.apply_ctx(params)
+        preds, occs, _ = model(ctx, im1, im2)
+        feats = _pyramid(ctx, im1) if model is maskflownet_s else None
+        return preds, occs, feats
+
+    p0, o0, f0 = run("0", maskflownet_s, s_params)
+    p1, o1, f1 = run("1", maskflownet_s, s_params)
+    for a, b in zip(f0, f1):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(p0[-1]), np.asarray(p1[-1]),
+                               atol=5e-4)
+    np.testing.assert_allclose(np.asarray(o0[0]), np.asarray(o1[0]),
+                               atol=5e-5)
+
+    c0, _, _ = run("0", maskflownet, full_params)
+    c1, _, _ = run("1", maskflownet, full_params)
+    np.testing.assert_allclose(np.asarray(c0[-1]), np.asarray(c1[-1]),
+                               atol=5e-4)
+
+
+def test_s2d_gradient_parity(s_params, monkeypatch):
+    """Parameter gradients through the s2d path match the standard path
+    (the expanded-kernel construction maps wgrad back tap-for-tap)."""
+    rng = np.random.RandomState(3)
+    im1 = jnp.asarray(rng.rand(1, H, W, 3), jnp.float32)
+    im2 = jnp.asarray(rng.rand(1, H, W, 3), jnp.float32)
+
+    def loss(params):
+        preds, _, _ = maskflownet_s(nn.apply_ctx(params), im1, im2)
+        return sum(jnp.sum(jnp.abs(p)) for p in preds)
+
+    monkeypatch.setenv("MFN_S2D", "0")
+    g0 = jax.grad(loss)(s_params)
+    monkeypatch.setenv("MFN_S2D", "1")
+    g1 = jax.grad(loss)(s_params)
+    for k in ("conv1a/w", "conv1b/w", "conv1c/w", "conv2a/w", "conv1a/b"):
+        ref = np.asarray(g0[k])
+        got = np.asarray(g1[k])
+        np.testing.assert_allclose(
+            got, ref, atol=1e-4 + 1e-3 * np.abs(ref).max(), err_msg=k)

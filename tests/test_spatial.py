@@ -92,3 +92,40 @@ def test_spatial_sharded_gradient_matches_unsharded():
         np.testing.assert_allclose(a, r, rtol=3e-2,
                                    atol=2e-3 * max(1.0, np.abs(r).max()),
                                    err_msg=k)
+
+
+@pytest.mark.slow
+def test_spatial_sharded_forward_s2d(monkeypatch):
+    """The space-to-depth level-1 path (the TPU default, MFN_S2D=1) must
+    compose with H-axis spatial sharding: GSPMD has to partition the s2d
+    reshape and the 2x2/pad(1,0) expanded-kernel convs with correct halos."""
+    assert jax.device_count() == 8
+    monkeypatch.setenv("MFN_S2D", "1")
+    cfg = ModelConfig()
+    h, w, b = 256, 128, 2
+    im = jnp.zeros((1, h, w, 3), jnp.float32)
+    params = nn.init(maskflownet_s, jax.random.PRNGKey(0), im, im, cfg)
+    rng = np.random.RandomState(2)
+    im1 = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32))
+    im2 = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32))
+
+    mesh = make_spatial_mesh(2, 2)
+    fwd = make_spatial_forward(maskflownet_s, cfg, mesh,
+                               compute_dtype=jnp.float32)
+    flow_sharded, occ_sharded = fwd(params, im1, im2)
+
+    monkeypatch.setenv("MFN_S2D", "0")
+
+    def ref(params, a, b_):
+        both = jnp.concatenate([a, b_], axis=1)
+        mean = jnp.mean(both, axis=(1, 2), keepdims=True)
+        preds, occs, _ = maskflownet_s(
+            nn.apply_ctx(params), a - mean, b_ - mean, cfg)
+        from maskflownet_tpu.ops import upsample
+        return upsample(preds[-1], 4), upsample(occs[0], 4)
+
+    flow_ref, occ_ref = jax.jit(ref)(params, im1, im2)
+    np.testing.assert_allclose(np.asarray(flow_sharded), np.asarray(flow_ref),
+                               rtol=1e-3, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(occ_sharded), np.asarray(occ_ref),
+                               rtol=1e-3, atol=1e-4)
