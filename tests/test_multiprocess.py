@@ -209,12 +209,13 @@ def host(a):
         else np.asarray(a)
     return a
 
-lines = [" ".join(f"{l:.8e}" for l in losses)]
-for k in sorted(trainer.params):
-    p = host(trainer.params[k]).astype(np.float64)
-    lines.append(f"{k} {p.sum():.8e} {np.abs(p).sum():.8e}")
 with open(os.path.join(outdir, f"model_{nproc}_{pid}.txt"), "w") as fp:
-    fp.write("\n".join(lines))
+    fp.write(" ".join(f"{l:.8e}" for l in losses))
+# ship the FULL param arrays: the comparison must be per-element --
+# a signed sum over ~1e4 weights cancels ~40x and amplifies benign f32
+# reduction-order differences between mesh topologies past any tolerance
+np.savez(os.path.join(outdir, f"model_{nproc}_{pid}.npz"),
+         **{k: host(v) for k, v in trainer.params.items()})
 """
 
 
@@ -247,27 +248,33 @@ def test_two_process_real_model_step(tmp_path):
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out[-3000:]
 
-    def read(path):
-        lines = path.read_text().splitlines()
-        losses = [float(v) for v in lines[0].split()]
-        params = {}
-        for ln in lines[1:]:
-            k, s, a = ln.split()
-            params[k] = (float(s), float(a))
+    def read(stem):
+        losses = [float(v)
+                  for v in (tmp_path / f"{stem}.txt").read_text().split()]
+        with np.load(tmp_path / f"{stem}.npz") as z:
+            params = {k: z[k] for k in z.files}
         return losses, params
 
-    l0, p0 = read(tmp_path / "model_2_0.txt")
-    l1, p1 = read(tmp_path / "model_2_1.txt")
-    lr, pr = read(tmp_path / "model_1_0.txt")
+    l0, p0 = read("model_2_0")
+    l1, p1 = read("model_2_1")
+    lr, pr = read("model_1_0")
     # both distributed processes observed identical (replicated) state
     np.testing.assert_allclose(l0, l1, rtol=1e-6)
-    assert p0 == p1
-    # and it matches the single-process 2-device reference run
+    assert set(p0) == set(p1)
+    for k in p0:
+        assert np.array_equal(p0[k], p1[k]), k
+    # and it matches the single-process 2-device reference run.
+    # Per-element comparison with an Adam-aware bound (see the cascade test
+    # below for the full rationale): isolated noise-gradient weights may
+    # take ~lr-sized opposite steps across topologies; real DP defects
+    # diverge the loss trace and whole tensors.
     np.testing.assert_allclose(l0, lr, rtol=2e-5)
     assert set(p0) == set(pr)
     for k in p0:
-        np.testing.assert_allclose(p0[k], pr[k], rtol=2e-5, atol=1e-6,
+        np.testing.assert_allclose(p0[k], pr[k], rtol=2e-5, atol=1e-4,
                                    err_msg=k)
+        loose = np.abs(p0[k] - pr[k]) > 1e-6 + 2e-5 * np.abs(pr[k])
+        assert loose.mean() < 0.01, (k, float(loose.mean()))
 
 
 # ---------------------------------------------------------------------------
@@ -303,7 +310,7 @@ settings = TrainSettings(model="MaskFlownet", compute_dtype="float32",
                          target_shape=(64, 64), orig_shape=(64, 64),
                          fix_head=True, geo=None, color=None)
 trainer = Trainer(settings, mesh=make_mesh(), seed=0)
-head0 = {k: np.asarray(v, np.float64).sum()
+head0 = {k: np.asarray(v).copy()
          for k, v in trainer.params.items() if k.startswith(HEAD_SCOPE + "/")}
 
 rng = np.random.RandomState(0)
@@ -341,22 +348,22 @@ def host(a):
     return np.asarray(a.addressable_data(0)) if hasattr(a, "addressable_data") \
         else np.asarray(a)
 
-# frozen head: exactly unchanged after 3 optimizer steps
+# frozen head: bit-exactly unchanged after 3 optimizer steps
 stage2_moved = 0
 for k, v in trainer.params.items():
-    s = host(v).astype(np.float64).sum()
     if k.startswith(HEAD_SCOPE + "/"):
-        assert s == head0[k], f"frozen head param moved: {k}"
+        assert np.array_equal(host(v), head0[k]), f"frozen head param moved: {k}"
     else:
         stage2_moved += 1
 assert stage2_moved > 0
 
-lines = [" ".join(f"{l:.8e}" for l in losses)]
-for k in sorted(trainer.params):
-    p = host(trainer.params[k]).astype(np.float64)
-    lines.append(f"{k} {p.sum():.8e} {np.abs(p).sum():.8e}")
 with open(os.path.join(outdir, f"cascade_{nproc}_{pid}.txt"), "w") as fp:
-    fp.write("\n".join(lines))
+    fp.write(" ".join(f"{l:.8e}" for l in losses))
+# full param arrays for a per-element cross-topology comparison (the old
+# signed-sum statistic cancelled ~40x and failed on benign f32
+# reduction-order differences between 2x2 and 1x4 meshes)
+np.savez(os.path.join(outdir, f"cascade_{nproc}_{pid}.npz"),
+         **{k: host(v) for k, v in trainer.params.items()})
 """
 
 
@@ -395,22 +402,34 @@ def test_two_process_cascade_fix_head_step(tmp_path):
     drain(launch([(coord, 0, "2", 2), (coord, 1, "2", 2)]))
     drain(launch([("none", 0, "4", 1)]))
 
-    def read(path):
-        lines = path.read_text().splitlines()
-        losses = [float(v) for v in lines[0].split()]
-        params = {}
-        for ln in lines[1:]:
-            k, s, a = ln.split()
-            params[k] = (float(s), float(a))
+    def read(stem):
+        losses = [float(v)
+                  for v in (tmp_path / f"{stem}.txt").read_text().split()]
+        with np.load(tmp_path / f"{stem}.npz") as z:
+            params = {k: z[k] for k in z.files}
         return losses, params
 
-    l0, p0 = read(tmp_path / "cascade_2_0.txt")
-    l1, p1 = read(tmp_path / "cascade_2_1.txt")
-    lr, pr = read(tmp_path / "cascade_1_0.txt")
+    l0, p0 = read("cascade_2_0")
+    l1, p1 = read("cascade_2_1")
+    lr, pr = read("cascade_1_0")
     np.testing.assert_allclose(l0, l1, rtol=1e-6)
-    assert p0 == p1
+    assert set(p0) == set(p1)
+    for k in p0:
+        assert np.array_equal(p0[k], p1[k]), k
+    # Cross-topology parameter bound, conditioned on Adam's dynamics: the
+    # update m/(sqrt(v)+eps) is SCALE-FREE, so a weight whose true gradient
+    # sits at the f32 noise floor can take an opposite-signed ~lr-sized
+    # step when the all-reduce order changes -- isolated elements may
+    # legitimately differ by up to ~lr (1e-4) after 3 steps (observed:
+    # 2/576 elements of conv1x/w at 4.7e-5). A real DP defect (missing or
+    # wrong all-reduce) diverges the LOSS trace and whole tensors, not
+    # isolated noise-gradient weights. So: (a) losses match tightly,
+    # (b) every element within the hard lr-scale bound, (c) <1% of any
+    # tensor's elements outside the tight reduction-order bound.
     np.testing.assert_allclose(l0, lr, rtol=2e-5)
     assert set(p0) == set(pr)
     for k in p0:
-        np.testing.assert_allclose(p0[k], pr[k], rtol=2e-5, atol=1e-6,
+        np.testing.assert_allclose(p0[k], pr[k], rtol=2e-5, atol=1e-4,
                                    err_msg=k)
+        loose = np.abs(p0[k] - pr[k]) > 1e-6 + 2e-5 * np.abs(pr[k])
+        assert loose.mean() < 0.01, (k, float(loose.mean()))
