@@ -46,6 +46,14 @@ class ModelConfig:
     # so it was removed -- see ops.deform docstring)
     # multiscale loss weights live in the training config, not here
 
+    # -- TPU dispatch (exact reformulations; same stored parameters).
+    # None = auto: backend default, or the MFN_* env var when resolved
+    # through resolve_dispatch() (Trainer does this once at construction --
+    # model code itself never reads os.environ, VERDICT r4 W5):
+    s2d: bool | None = None       # level-1 pyramid in space-to-depth form
+    s2d_l2: bool | None = None    # extend s2d to the level-2 trio
+    dense: str | None = None      # dense blocks: 'pieces' | 'concat'
+
     @property
     def scale(self) -> float:
         return 20.0 * self.flow_multiplier
@@ -55,22 +63,57 @@ STRIDES = (64, 32, 16, 8, 4)  # levels 6..2
 PYRAMID_CH = (16, 32, 64, 96, 128, 196)
 DENSE_CH = (128, 128, 96, 64, 32)
 
+_FALSY = ("", "0", "false", "off", "no")
 
-def _use_s2d(x: Array) -> bool:
-    """Whether the level-1 pyramid runs in space-to-depth form (see
-    ``nn.conv_s2d_in``): the C=16 half-resolution activations otherwise move
-    8x tile-inflated through HBM. Exact same math against the same stored
-    parameters; ``MFN_S2D=0|1`` overrides the TPU default."""
+
+def _env_flag(name: str) -> bool | None:
     import os
+    v = os.environ.get(name)
+    if v is None:
+        return None
+    return v.strip().lower() not in _FALSY
+
+
+def resolve_dispatch(cfg: ModelConfig) -> ModelConfig:
+    """Resolve the auto (None) dispatch fields of a ModelConfig from the
+    environment + backend, ONCE -- called at Trainer/entry construction so
+    model code never reads ``os.environ`` at trace time (a long-lived
+    process could otherwise silently flip kernel paths between traces;
+    VERDICT r4 W5 / ADVICE r4). Env: ``MFN_S2D``, ``MFN_S2D_L2``,
+    ``MFN_DENSE`` -- see the README flag table."""
+    import os
+    tpu = jax.default_backend() == "tpu"
+    if cfg.s2d is None:
+        v = _env_flag("MFN_S2D")
+        cfg = dataclasses.replace(cfg, s2d=tpu if v is None else v)
+    if cfg.s2d_l2 is None:
+        v = _env_flag("MFN_S2D_L2")
+        cfg = dataclasses.replace(cfg, s2d_l2=bool(v) and cfg.s2d)
+    if cfg.dense is None:
+        d = os.environ.get("MFN_DENSE") or ("pieces" if tpu else "concat")
+        if d not in ("pieces", "concat"):
+            raise ValueError(
+                f"MFN_DENSE={d!r}: expected 'pieces' or 'concat'")
+        cfg = dataclasses.replace(cfg, dense=d)
+    return cfg
+
+
+def _use_s2d(x: Array, cfg: ModelConfig) -> bool:
+    """Whether the level-1 pyramid runs in space-to-depth form (see
+    ``nn.conv_s2d_in``): the C=16 half-resolution activations otherwise
+    move 8x tile-inflated through HBM. Exact same math against the same
+    stored parameters. cfg.s2d=None (direct model calls that skipped
+    resolve_dispatch) falls back to the backend default."""
     if x.shape[1] % 4 or x.shape[2] % 4:
         return False
-    v = os.environ.get("MFN_S2D")
-    if v is not None:
-        return v not in ("0", "false")
-    return jax.default_backend() == "tpu"
+    if cfg.s2d is None:
+        return jax.default_backend() == "tpu"
+    return cfg.s2d
 
 
-def _pyramid(ctx: nn.Ctx, x: Array, names: tuple[str, str, str] = ("a", "b", "c")) -> list[Array]:
+def _pyramid(ctx: nn.Ctx, x: Array,
+             names: tuple[str, str, str] = ("a", "b", "c"),
+             cfg: ModelConfig = ModelConfig()) -> list[Array]:
     """6-level feature pyramid, 3 convs per level with stride-2 first conv
     (reference ``MaskFlownet.py:79-96``; cascade variant uses x/y/z names,
     ``:332-349``). Returns [c1 .. c6] (1/2 .. 1/64 resolution).
@@ -80,20 +123,34 @@ def _pyramid(ctx: nn.Ctx, x: Array, names: tuple[str, str, str] = ("a", "b", "c"
     C=16 feature maps never round-trip HBM in padded layout; the
     depth-to-space'd ``c1`` placed in ``feats`` is only materialized if a
     consumer actually uses it (levels 2..6 are the only ones the decoders
-    read, so XLA dead-code-eliminates it in training)."""
+    read, so XLA dead-code-eliminates it in training). With ``cfg.s2d_l2``
+    the level-2 trio stays in s2d form too (``nn.conv_s2d_down``) and
+    ``conv3a`` consumes it; level-2 features ARE read by the decoders, so
+    they get one depth-to-space materialization."""
     feats = []
     start = 1
-    if _use_s2d(x):
+    if _use_s2d(x, cfg):
         ch1, ch2 = PYRAMID_CH[0], PYRAMID_CH[1]
         z = nn.conv_s2d_in(ctx, f"conv1{names[0]}", x, ch1)
         z = nn.conv_s2d(ctx, f"conv1{names[1]}", z, ch1)
         z = nn.conv_s2d(ctx, f"conv1{names[2]}", z, ch1)
         feats.append(nn.depth_to_space(z, 2))
-        x = nn.conv_from_s2d(ctx, f"conv2{names[0]}", z, ch2)
-        x = nn.conv(ctx, f"conv2{names[1]}", x, ch2)
-        x = nn.conv(ctx, f"conv2{names[2]}", x, ch2)
-        feats.append(x)
-        start = 3
+        if cfg.s2d_l2 and x.shape[1] % 8 == 0 and x.shape[2] % 8 == 0:
+            z = nn.conv_s2d_down(ctx, f"conv2{names[0]}", z, ch2)
+            z = nn.conv_s2d(ctx, f"conv2{names[1]}", z, ch2)
+            z = nn.conv_s2d(ctx, f"conv2{names[2]}", z, ch2)
+            feats.append(nn.depth_to_space(z, 2))
+            x = nn.conv_from_s2d(ctx, f"conv3{names[0]}", z, PYRAMID_CH[2])
+            x = nn.conv(ctx, f"conv3{names[1]}", x, PYRAMID_CH[2])
+            x = nn.conv(ctx, f"conv3{names[2]}", x, PYRAMID_CH[2])
+            feats.append(x)
+            start = 4
+        else:
+            x = nn.conv_from_s2d(ctx, f"conv2{names[0]}", z, ch2)
+            x = nn.conv(ctx, f"conv2{names[1]}", x, ch2)
+            x = nn.conv(ctx, f"conv2{names[2]}", x, ch2)
+            feats.append(x)
+            start = 3
     for i in range(start, 7):
         ch = PYRAMID_CH[i - 1]
         x = nn.conv(ctx, f"conv{i}{names[0]}", x, ch, stride=2)
@@ -104,7 +161,8 @@ def _pyramid(ctx: nn.Ctx, x: Array, names: tuple[str, str, str] = ("a", "b", "c"
 
 
 def _pyramid_pair(ctx: nn.Ctx, xa: Array, xb: Array,
-                  names: tuple[str, str, str] = ("a", "b", "c")):
+                  names: tuple[str, str, str] = ("a", "b", "c"),
+                  cfg: ModelConfig = ModelConfig()):
     """The two shared-weight pyramids over an image pair, computed as ONE
     batched pyramid over ``concat([xa, xb], axis=0)`` and split per level.
 
@@ -115,21 +173,22 @@ def _pyramid_pair(ctx: nn.Ctx, xa: Array, xb: Array,
     3-7 TFLOP/s for trivial FLOP counts), so halving the op count saves
     ~1.5 ms/step of pure overhead in fwd+bwd."""
     b = xa.shape[0]
-    feats = _pyramid(ctx, jnp.concatenate([xa, xb], axis=0), names)
+    feats = _pyramid(ctx, jnp.concatenate([xa, xb], axis=0), names, cfg)
     return [f[:b] for f in feats], [f[b:] for f in feats]
 
 
-def _dense_block(ctx: nn.Ctx, lvl: int, x: Array) -> Array:
+def _dense_block(ctx: nn.Ctx, lvl: int, x: Array,
+                 cfg: ModelConfig = ModelConfig()) -> Array:
     """Five concat convs (reference ``MaskFlownet.py:219-223`` pattern).
 
     On TPU each conv is computed as a sum of per-piece convs with sliced
     weights instead of conv-over-concat -- same parameters and math (up to
     bf16 summation order), but ~1.3 ms/step cheaper: the growing
     concatenations are a major source of XLA layout copies (round-4
-    profile; see ``nn.conv_pieces``). ``MFN_DENSE=concat|pieces``
-    overrides."""
-    import os
-    mode = os.environ.get("MFN_DENSE") or (
+    profile; see ``nn.conv_pieces``). ``cfg.dense`` selects
+    ('pieces'|'concat'; None = backend default -- set via
+    ``resolve_dispatch`` / ``MFN_DENSE``)."""
+    mode = cfg.dense or (
         "pieces" if jax.default_backend() == "tpu" else "concat")
     if mode == "pieces":
         pieces = [x]
@@ -199,7 +258,7 @@ def maskflownet_s(ctx: nn.Ctx, im1: Array, im2: Array,
     im1 = im1.astype(dtype)
     im2 = im2.astype(dtype)
 
-    c1s, c2s = _pyramid_pair(ctx, im1, im2)
+    c1s, c2s = _pyramid_pair(ctx, im1, im2, cfg=cfg)
     c11, c12, c13, c14, c15, c16 = c1s
     c21, c22, c23, c24, c25, c26 = c2s
 
@@ -207,7 +266,7 @@ def maskflownet_s(ctx: nn.Ctx, im1: Array, im2: Array,
     # leaky=0.1 fuses the post-cost-volume LeakyReLU (MaskFlownet.py:216-217)
     # into the Pallas kernel epilogue
     corr6 = correlation(c16, c26, md, leaky=0.1)
-    x = _dense_block(ctx, 6, corr6)
+    x = _dense_block(ctx, 6, corr6, cfg)
     flow, mask = _pred_flow_mask(ctx, 6, x)
     flows = [flow]
 
@@ -228,7 +287,7 @@ def maskflownet_s(ctx: nn.Ctx, im1: Array, im2: Array,
         warp = nn.leaky_relu(warp)
         corr = correlation(c1l, warp, md, leaky=0.1)
         x = jnp.concatenate([corr, c1l, feat, flow.astype(dtype)], axis=-1)
-        x = _dense_block(ctx, lvl, x)
+        x = _dense_block(ctx, lvl, x, cfg)
         if lvl > 2:
             df, mask = _pred_flow_mask(ctx, lvl, x)
             flow = flow + df
@@ -287,7 +346,8 @@ def maskflownet(ctx: nn.Ctx, im1: Array, im2: Array,
     c11, c12, c13, c14, c15, c16 = c1s
     c21, c22, c23, c24, c25, c26 = c2s
 
-    c3s, c4s = _pyramid_pair(ctx, c30, c40, names=("x", "y", "z"))
+    c3s, c4s = _pyramid_pair(ctx, c30, c40, names=("x", "y", "z"),
+                         cfg=cfg)
 
     # ---- level 6 ----
     flow = head_flows[0]
@@ -297,7 +357,7 @@ def maskflownet(ctx: nn.Ctx, im1: Array, im2: Array,
     corr6u = correlation(c16, warp6u, md, leaky=0.1)
     corr6v = correlation(c3s[5], c4s[5], md, leaky=0.1)
     x = jnp.concatenate([corr6u, corr6v, flow.astype(dtype)], axis=-1)
-    x = _dense_block(ctx, 6, x)
+    x = _dense_block(ctx, 6, x, cfg)
     flow = flow + _pred_flow(ctx, 6, x)
     flows = [flow]
 
@@ -316,7 +376,7 @@ def maskflownet(ctx: nn.Ctx, im1: Array, im2: Array,
         x = jnp.concatenate([
             c1l, feat, corru, corrv, flow.astype(dtype),
             head_flows[idx + 1].astype(dtype)], axis=-1)
-        x = _dense_block(ctx, lvl, x)
+        x = _dense_block(ctx, lvl, x, cfg)
         flow = flow + _pred_flow(ctx, lvl, x)
         flows.append(flow)
 

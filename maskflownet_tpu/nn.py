@@ -311,6 +311,33 @@ def conv_s2d(ctx: Ctx, name: str, z: Array, cout: int) -> Array:
     return leaky_relu(y + jnp.tile(b, 4))
 
 
+def conv_s2d_down(ctx: Ctx, name: str, z: Array, cout: int) -> Array:
+    """3x3 STRIDE-2 conv + LeakyReLU with input and output both in s2d(f=2)
+    form: (B,h,w,4*cin) [logical (2h,2w,cin)] -> (B,h/2,w/2,4*cout)
+    [logical (h,w,cout)]. Extends the s2d pyramid to level 2 (conv2a when
+    level 1 is in s2d form): output s2d block (P,Q) sub-pixel (p,q) reads
+    logical rows 4P+2p+dy, i.e. z rows 2P+(2p+dy)//2 -- a 3-tap kernel at
+    stride 2 with pad 1. Exact same MACs against the same stored
+    (3,3,cin,cout) parameters."""
+    cin = z.shape[-1] // 4
+    w = ctx.param(f"{name}/w", (3, 3, cin, cout), msra_prelu())
+    b = ctx.param(f"{name}/b", (cout,), zeros_init)
+    wx = jnp.zeros((3, 3, 4 * cin, 4 * cout), w.dtype)
+    for p in range(2):
+        for q in range(2):
+            for dy in range(-1, 2):
+                for dx in range(-1, 2):
+                    di, r = _tap(2 * p + dy)
+                    dj, s = _tap(2 * q + dx)
+                    a, o = (r * 2 + s) * cin, (p * 2 + q) * cout
+                    wx = wx.at[di + 1, dj + 1, a:a + cin, o:o + cout].set(
+                        w[dy + 1, dx + 1])
+    y = lax.conv_general_dilated(
+        z, wx, window_strides=(2, 2), padding=[(1, 1), (1, 1)],
+        dimension_numbers=_DN, preferred_element_type=z.dtype)
+    return leaky_relu(y + jnp.tile(b, 4))
+
+
 def conv_from_s2d(ctx: Ctx, name: str, z: Array, cout: int) -> Array:
     """3x3 stride-2 conv + LeakyReLU consuming an s2d input (B,h,w,4*cin),
     producing a standard (B,h,w,cout) output (the s2d grid stride matches

@@ -122,26 +122,31 @@ def test_build_model():
         build_model("nope")
 
 
-def test_s2d_pyramid_parity(s_params, full_params, monkeypatch):
-    """The space-to-depth level-1 path (MFN_S2D=1, the TPU default) is an
-    EXACT reformulation of the standard convs against the same stored
-    parameters: same feature values at every pyramid level and same model
-    outputs, for both the S model and the cascade (second 4-ch pyramid)."""
+@pytest.mark.parametrize("s2d_cfg", [ModelConfig(s2d=True),
+                                     ModelConfig(s2d=True, s2d_l2=True)],
+                         ids=["l1", "l1+l2"])
+def test_s2d_pyramid_parity(s_params, full_params, s2d_cfg):
+    """The space-to-depth pyramid paths (cfg.s2d / cfg.s2d_l2, resolved via
+    MFN_S2D / MFN_S2D_L2 at Trainer construction) are EXACT reformulations
+    of the standard convs against the same stored parameters: same feature
+    values at every pyramid level and same model outputs, for both the S
+    model and the cascade (second 4-ch pyramid)."""
     from maskflownet_tpu.models.maskflownet import _pyramid
 
     rng = np.random.RandomState(7)
     im1 = jnp.asarray(rng.rand(2, H, W, 3), jnp.float32)
     im2 = jnp.asarray(rng.rand(2, H, W, 3), jnp.float32)
 
-    def run(flag, model, params):
-        monkeypatch.setenv("MFN_S2D", flag)
+    def run(cfg, model, params):
         ctx = nn.apply_ctx(params)
-        preds, occs, _ = model(ctx, im1, im2)
-        feats = _pyramid(ctx, im1) if model is maskflownet_s else None
+        preds, occs, _ = model(ctx, im1, im2, cfg)
+        feats = _pyramid(ctx, im1, cfg=cfg) if model is maskflownet_s \
+            else None
         return preds, occs, feats
 
-    p0, o0, f0 = run("0", maskflownet_s, s_params)
-    p1, o1, f1 = run("1", maskflownet_s, s_params)
+    ref_cfg = ModelConfig(s2d=False)
+    p0, o0, f0 = run(ref_cfg, maskflownet_s, s_params)
+    p1, o1, f1 = run(s2d_cfg, maskflownet_s, s_params)
     for a, b in zip(f0, f1):
         assert a.shape == b.shape
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
@@ -151,29 +156,76 @@ def test_s2d_pyramid_parity(s_params, full_params, monkeypatch):
     np.testing.assert_allclose(np.asarray(o0[0]), np.asarray(o1[0]),
                                atol=5e-5)
 
-    c0, _, _ = run("0", maskflownet, full_params)
-    c1, _, _ = run("1", maskflownet, full_params)
+    c0, _, _ = run(ref_cfg, maskflownet, full_params)
+    c1, _, _ = run(s2d_cfg, maskflownet, full_params)
     np.testing.assert_allclose(np.asarray(c0[-1]), np.asarray(c1[-1]),
                                atol=5e-4)
 
 
-def test_s2d_gradient_parity(s_params, monkeypatch):
-    """Parameter gradients through the s2d path match the standard path
+@pytest.mark.parametrize("s2d_cfg", [ModelConfig(s2d=True),
+                                     ModelConfig(s2d=True, s2d_l2=True)],
+                         ids=["l1", "l1+l2"])
+def test_s2d_gradient_parity(s_params, s2d_cfg):
+    """Parameter gradients through the s2d paths match the standard path
     (the expanded-kernel construction maps wgrad back tap-for-tap)."""
     rng = np.random.RandomState(3)
     im1 = jnp.asarray(rng.rand(1, H, W, 3), jnp.float32)
     im2 = jnp.asarray(rng.rand(1, H, W, 3), jnp.float32)
 
-    def loss(params):
-        preds, _, _ = maskflownet_s(nn.apply_ctx(params), im1, im2)
-        return sum(jnp.sum(jnp.abs(p)) for p in preds)
+    def loss(cfg):
+        def f(params):
+            preds, _, _ = maskflownet_s(nn.apply_ctx(params), im1, im2, cfg)
+            return sum(jnp.sum(jnp.abs(p)) for p in preds)
+        return f
 
-    monkeypatch.setenv("MFN_S2D", "0")
-    g0 = jax.grad(loss)(s_params)
-    monkeypatch.setenv("MFN_S2D", "1")
-    g1 = jax.grad(loss)(s_params)
-    for k in ("conv1a/w", "conv1b/w", "conv1c/w", "conv2a/w", "conv1a/b"):
+    g0 = jax.grad(loss(ModelConfig(s2d=False)))(s_params)
+    g1 = jax.grad(loss(s2d_cfg))(s_params)
+    keys = ["conv1a/w", "conv1b/w", "conv1c/w", "conv2a/w", "conv1a/b"]
+    if s2d_cfg.s2d_l2:
+        keys += ["conv2b/w", "conv2c/w", "conv3a/w", "conv2a/b"]
+    for k in keys:
         ref = np.asarray(g0[k])
         got = np.asarray(g1[k])
         np.testing.assert_allclose(
             got, ref, atol=1e-4 + 1e-3 * np.abs(ref).max(), err_msg=k)
+
+
+def test_resolve_dispatch(monkeypatch):
+    """Env resolution happens ONCE through resolve_dispatch (ADVICE r4:
+    standard falsy set, case-insensitive), never in model code."""
+    from maskflownet_tpu.models import resolve_dispatch
+
+    monkeypatch.delenv("MFN_S2D", raising=False)
+    monkeypatch.delenv("MFN_S2D_L2", raising=False)
+    monkeypatch.delenv("MFN_DENSE", raising=False)
+    cfg = resolve_dispatch(ModelConfig())
+    assert cfg.s2d == (jax.default_backend() == "tpu")
+    assert cfg.s2d_l2 is False and cfg.dense in ("pieces", "concat")
+    for v in ("0", "false", "OFF", "No", ""):
+        monkeypatch.setenv("MFN_S2D", v)
+        assert resolve_dispatch(ModelConfig()).s2d is False, v
+    for v in ("1", "true", "ON", "yes"):
+        monkeypatch.setenv("MFN_S2D", v)
+        assert resolve_dispatch(ModelConfig()).s2d is True, v
+    # s2d_l2 requires s2d
+    monkeypatch.setenv("MFN_S2D", "0")
+    monkeypatch.setenv("MFN_S2D_L2", "1")
+    assert resolve_dispatch(ModelConfig()).s2d_l2 is False
+    monkeypatch.setenv("MFN_S2D", "1")
+    assert resolve_dispatch(ModelConfig()).s2d_l2 is True
+    # explicit fields win over env
+    assert resolve_dispatch(ModelConfig(s2d=False)).s2d is False
+    monkeypatch.setenv("MFN_DENSE", "bogus")
+    with pytest.raises(ValueError):
+        resolve_dispatch(ModelConfig())
+    monkeypatch.setenv("MFN_DENSE", "concat")
+    assert resolve_dispatch(ModelConfig()).dense == "concat"
+    # the model source itself is env-free (VERDICT r4 W5 acceptance)
+    # (importlib: the package attribute 'maskflownet' is the function,
+    # which shadows the submodule under plain `import ... as`)
+    import importlib
+    import inspect
+    model_mod = importlib.import_module("maskflownet_tpu.models.maskflownet")
+    src = inspect.getsource(model_mod)
+    body = src.split("def _use_s2d", 1)[1]
+    assert "os.environ" not in body

@@ -95,13 +95,49 @@ def test_spatial_sharded_gradient_matches_unsharded():
 
 
 @pytest.mark.slow
-def test_spatial_sharded_forward_s2d(monkeypatch):
-    """The space-to-depth level-1 path (the TPU default, MFN_S2D=1) must
+def test_spatial_sharded_forward_cascade():
+    """H-axis spatial sharding composed with the FULL cascade (VERDICT r4
+    task #7): the second dual pyramid, the dual md=2 correlations and the
+    head->stage-2 handoff tensors (c30/c40 at full resolution) must all
+    partition correctly under GSPMD."""
+    assert jax.device_count() == 8
+    from maskflownet_tpu.models import maskflownet
+
+    cfg = ModelConfig()
+    h, w, b = 256, 128, 2
+    im = jnp.zeros((1, h, w, 3), jnp.float32)
+    params = nn.init(maskflownet, jax.random.PRNGKey(0), im, im, cfg)
+    rng = np.random.RandomState(5)
+    im1 = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32))
+    im2 = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32))
+
+    mesh = make_spatial_mesh(2, 2)
+    fwd = make_spatial_forward(maskflownet, cfg, mesh,
+                               compute_dtype=jnp.float32)
+    flow_sharded, vis_sharded = fwd(params, im1, im2)
+
+    def ref(params, a, b_):
+        both = jnp.concatenate([a, b_], axis=1)
+        mean = jnp.mean(both, axis=(1, 2), keepdims=True)
+        preds, visuals, _ = maskflownet(
+            nn.apply_ctx(params), a - mean, b_ - mean, cfg)
+        from maskflownet_tpu.ops import upsample
+        return upsample(preds[-1], 4), upsample(visuals[0], 4)
+
+    flow_ref, vis_ref = jax.jit(ref)(params, im1, im2)
+    np.testing.assert_allclose(np.asarray(flow_sharded), np.asarray(flow_ref),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(vis_sharded), np.asarray(vis_ref),
+                               rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_spatial_sharded_forward_s2d():
+    """The space-to-depth pyramid path (the TPU default, cfg.s2d) must
     compose with H-axis spatial sharding: GSPMD has to partition the s2d
     reshape and the 2x2/pad(1,0) expanded-kernel convs with correct halos."""
     assert jax.device_count() == 8
-    monkeypatch.setenv("MFN_S2D", "1")
-    cfg = ModelConfig()
+    cfg = ModelConfig(s2d=True)
     h, w, b = 256, 128, 2
     im = jnp.zeros((1, h, w, 3), jnp.float32)
     params = nn.init(maskflownet_s, jax.random.PRNGKey(0), im, im, cfg)
@@ -114,13 +150,13 @@ def test_spatial_sharded_forward_s2d(monkeypatch):
                                compute_dtype=jnp.float32)
     flow_sharded, occ_sharded = fwd(params, im1, im2)
 
-    monkeypatch.setenv("MFN_S2D", "0")
+    ref_cfg = ModelConfig(s2d=False)
 
     def ref(params, a, b_):
         both = jnp.concatenate([a, b_], axis=1)
         mean = jnp.mean(both, axis=(1, 2), keepdims=True)
         preds, occs, _ = maskflownet_s(
-            nn.apply_ctx(params), a - mean, b_ - mean, cfg)
+            nn.apply_ctx(params), a - mean, b_ - mean, ref_cfg)
         from maskflownet_tpu.ops import upsample
         return upsample(preds[-1], 4), upsample(occs[0], 4)
 
