@@ -1,9 +1,16 @@
-"""Benchmark: MaskFlownet-S training throughput on the attached TPU chip.
+"""Benchmark: MaskFlownet training throughput on the attached TPU chip.
 
-Measures end-to-end train-step samples/s at the FlyingChairs stage shape
-(batch 8, 320x448 crops from 384x512 sources) and compares against the
-reference MXNet figure of ~25 samples/s on a single multi-GPU host
-(BASELINE.md: total_time=0.16-0.21 s/step at batch 4; chairs runs batch 8).
+Two model rows (VERDICT r4 #3):
+
+* **MaskFlownet_S** (headline `value`): end-to-end train-step samples/s at
+  the FlyingChairs stage shape (batch 8, 320x448 crops from 384x512
+  sources) vs the reference MXNet figure of ~25 samples/s on a single
+  multi-GPU host (BASELINE.md: total_time=0.16-0.21 s/step at batch 4).
+* **MaskFlownet cascade** (`cascade` field): the reference's flagship
+  model (weights/README.md:19) at its fine-tune stage shape (batch 4,
+  320x768 crops from 436x1024 sintel frames, frozen head -- reference
+  logs/5adNov03-0005.log: total_time=0.16 => ~25 samples/s), same
+  3-window methodology, plus native-shape (436x1024) inference latency.
 
 Headline path (geometry-fresh echoing): raw orig-shape uint8 batches are
 kept resident in device HBM (``DeviceBatchCache``) while crop + geometric +
@@ -38,6 +45,10 @@ Reported fields (one JSON line):
   flops_per_step_g       XLA cost-analysis FLOPs of the headline step
   mfu / mfu_train_only   flops/step / step_time / chip bf16 peak, for the
                          aug-inclusive and host-aug step respectively
+  batch_scaling          step_ms + MFU of the SAME aug-inclusive program at
+                         batch 16 and 32 (VERDICT r4 W2c: the ~40us/op
+                         fixed-overhead floor predicts MFU rises with batch)
+  cascade                the flagship row (above)
 See PERF.md for the step-time breakdown and roofline discussion.
 """
 
@@ -45,6 +56,7 @@ import json
 import statistics
 import sys
 import time
+import warnings
 
 import numpy as np
 
@@ -63,10 +75,64 @@ WINDOW_STEPS = 200
 REPEATS = 3
 
 
+def _peak(jax):
+    return _PEAK_TFLOPS.get(str(jax.devices()[0].device_kind))
+
+
+def _time_const_batch(trainer, const_batch, iters=50, repeats=REPEATS):
+    """Median ms/step over `repeats` timed loops on a device-resident batch
+    (the per-step folded key still redraws geometry+color every step)."""
+    runs = []
+    for _ in range(2):
+        m = trainer.train_batch_device(const_batch, lr=1e-4)
+    float(m["loss"])
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            m = trainer.train_batch_device(const_batch, lr=1e-4)
+        float(m["loss"])
+        runs.append((time.perf_counter() - t0) / iters * 1e3)
+    return statistics.median(runs), runs
+
+
+def _count_flops(settings, const_batch, note=""):
+    """XLA cost-analysis FLOPs of the train step on an s2d=0 lowering of the
+    SAME settings: the space-to-depth paths (TPU default) add zero-weight
+    taps whose FLOPs the cost model counts but which do no useful work --
+    counting them would inflate MFU by ~4%. The s2d=0 program is the
+    canonical FLOP count (what rounds 1-3 reported).
+
+    Called only AFTER the timed trainer is freed (ADVICE r4 #3: a second
+    live Trainer doubles the HBM footprint mid-bench); the counting
+    trainer is dropped as soon as the lowering exists."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from maskflownet_tpu.training import Trainer
+
+    try:
+        cfg = dataclasses.replace(settings.model_cfg, s2d=False, s2d_l2=False)
+        flops_trainer = Trainer(dataclasses.replace(settings, model_cfg=cfg))
+        key = jax.random.PRNGKey(0)
+        lowered = flops_trainer._train_step.lower(
+            flops_trainer.params, flops_trainer.opt_state, *const_batch,
+            key, jnp.asarray(1e-4, jnp.float32))
+        del flops_trainer
+        ca = lowered.compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        return float(ca["flops"])
+    except Exception as e:  # noqa: BLE001 -- report, don't hide (ADVICE r4 #3)
+        warnings.warn(f"FLOPs pass failed ({note}): {e!r}; mfu=null")
+        return None
+
+
 def main():
     import os
 
-    import jax  # noqa: F401  (backend must initialize before cache setup)
+    import jax
     # persistent compilation cache (MFN_NO_COMPILE_CACHE=1 disables): the
     # chairs-stage train step compiles in minutes over a tunneled backend
     from maskflownet_tpu.compile_cache import enable_compile_cache
@@ -100,14 +166,15 @@ def main():
 
     rng = np.random.RandomState(0)
     n_variants = 8  # distinct host batches cycling through the refresh thread
-    batches = []
-    for v in range(n_variants):
-        img1 = rng.randint(0, 255, (batch, oh, ow, 3)).astype(np.uint8)
-        img2 = rng.randint(0, 255, (batch, oh, ow, 3)).astype(np.uint8)
-        flow = (rng.randn(batch, oh, ow, 2) * 4).astype(np.float16)
-        mask = np.full((batch, 1, 1, 1), 255, np.uint8)
-        batches.append((img1, img2, flow, mask))
 
+    def make_raw(b, h, w, seed_rng):
+        img1 = seed_rng.randint(0, 255, (b, h, w, 3)).astype(np.uint8)
+        img2 = seed_rng.randint(0, 255, (b, h, w, 3)).astype(np.uint8)
+        flow = (seed_rng.randn(b, h, w, 2) * 4).astype(np.float16)
+        mask = np.full((b, 1, 1, 1), 255, np.uint8)
+        return (img1, img2, flow, mask)
+
+    batches = [make_raw(batch, oh, ow, rng) for _ in range(n_variants)]
     counter = {"i": 0}
 
     def raw_source():
@@ -135,54 +202,41 @@ def main():
     transfers = prefetch.transfers
     samples_per_s = statistics.median(sps_runs)
 
-    # ---- pure compiled-step time (device-resident constant raw batch;
-    # the per-step folded key still redraws geometry+color every step) ----
+    # ---- pure compiled-step time (device-resident constant raw batch) ----
     const_batch = prefetch.get()
-    step_runs = []
-    for _ in range(2):
-        m = trainer.train_batch_device(const_batch, lr=1e-4)
-    float(m["loss"])
-    for _ in range(REPEATS):
-        t0 = time.perf_counter()
-        for _ in range(50):
-            m = trainer.train_batch_device(const_batch, lr=1e-4)
-        float(m["loss"])
-        step_runs.append((time.perf_counter() - t0) / 50 * 1e3)
-    step_ms = statistics.median(step_runs)
+    step_ms, step_runs = _time_const_batch(trainer, const_batch)
     prefetch.stop()
 
-    # ---- FLOPs + MFU from XLA cost analysis (headline step) ----
-    # Counted on an MFN_S2D=0 lowering of the SAME step: the space-to-depth
-    # level-1 path (the TPU default since round 4) adds zero-weight taps
-    # whose FLOPs the cost model counts but which do no useful work --
-    # counting them would inflate MFU by ~4%. The s2d=0 program is the
-    # canonical FLOP count (and what rounds 1-3 reported).
-    flops = mfu = None
-    try:
-        import jax.numpy as jnp
-        key = jax.random.PRNGKey(0)
-        prev_s2d = os.environ.get("MFN_S2D")
-        os.environ["MFN_S2D"] = "0"
+    # ---- batch scaling (VERDICT r4 W2c): same trainer, same program
+    # family, b16/b32 device-resident batches. FLOPs at batch b are the b8
+    # cost-analysis count scaled linearly (conv/loss/aug FLOPs are exactly
+    # linear in batch; the only constant term is the Adam update, <0.1%). ----
+    batch_scaling = {}
+    for b in (16, 32):
         try:
-            flops_trainer = Trainer(settings)
-            lowered = flops_trainer._train_step.lower(
-                flops_trainer.params, flops_trainer.opt_state, *const_batch,
-                key, jnp.asarray(1e-4, jnp.float32))
-        finally:
-            if prev_s2d is None:
-                os.environ.pop("MFN_S2D", None)
-            else:
-                os.environ["MFN_S2D"] = prev_s2d
-        ca = lowered.compile().cost_analysis()
-        if isinstance(ca, list):
-            ca = ca[0]
-        flops = float(ca["flops"])
-        peak = _PEAK_TFLOPS.get(jax.devices()[0].device_kind)
-        if peak:
-            mfu = flops / (step_ms * 1e-3) / (peak * 1e12)
-    except Exception:
-        pass
+            big = tuple(jax.device_put(x) for x in
+                        make_raw(b, oh, ow, np.random.RandomState(b)))
+            jax.block_until_ready(big)
+            ms_b, _ = _time_const_batch(trainer, big, iters=30)
+            batch_scaling[f"b{b}"] = {"step_ms": round(ms_b, 2),
+                                      "sps": round(b / ms_b * 1e3, 2)}
+            del big
+        except Exception as e:  # noqa: BLE001 -- e.g. OOM at b32
+            warnings.warn(f"batch-scaling b{b} failed: {e!r}")
+            batch_scaling[f"b{b}"] = None
     del trainer
+
+    # ---- FLOPs + MFU (after the timed trainer is freed; ADVICE r4 #3) ----
+    flops = _count_flops(settings, const_batch, note="S b8")
+    peak = _peak(jax)
+    mfu = (flops / (step_ms * 1e-3) / (peak * 1e12)
+           if flops and peak else None)
+    if flops and peak:
+        for b in (16, 32):
+            row = batch_scaling.get(f"b{b}")
+            if row:
+                row["mfu"] = round(flops * (b / batch)
+                                   / (row["step_ms"] * 1e-3) / (peak * 1e12), 4)
 
     # ---- comparison trainer: geometry aug on the host (the --aug host
     # step program) for the in-step aug cost, plus the uncached
@@ -216,14 +270,7 @@ def main():
         m = trainer_h.train_batch_device(pf.get(), lr=1e-4)
     float(m["loss"])
     const_h = pf.get()
-    host_runs = []
-    for _ in range(REPEATS):
-        t0 = time.perf_counter()
-        for _ in range(50):
-            m = trainer_h.train_batch_device(const_h, lr=1e-4)
-        float(m["loss"])
-        host_runs.append((time.perf_counter() - t0) / 50 * 1e3)
-    step_ms_host = statistics.median(host_runs)
+    step_ms_host, _ = _time_const_batch(trainer_h, const_h)
 
     n_un = 15
     t0 = time.perf_counter()
@@ -232,12 +279,94 @@ def main():
     float(m["loss"])
     uncached_sps = batch * n_un / (time.perf_counter() - t0)
     pf.stop()
+    del trainer_h
 
-    mfu_train = (flops / (step_ms_host * 1e-3)
-                 / (_PEAK_TFLOPS.get(str(jax.devices()[0].device_kind), 0)
-                    * 1e12)
-                 if flops and _PEAK_TFLOPS.get(
-                     str(jax.devices()[0].device_kind)) else None)
+    mfu_train = (flops / (step_ms_host * 1e-3) / (peak * 1e12)
+                 if flops and peak else None)
+
+    # ---- flagship cascade row (VERDICT r4 #3): frozen-head fine-tune at
+    # the sintel-mix stage shape, same cache path + 3-window methodology ----
+    cascade = None
+    try:
+        ch, cw = 320, 768      # sintel_kitti2015_hd1k target_shape
+        coh, cow = 436, 1024   # sintel native frames
+        cbatch = 4             # reference cascade ft batch (BASELINE.md)
+        settings_c = TrainSettings(
+            model="MaskFlownet",
+            model_cfg=ModelConfig(),
+            q=0.4,              # reference MaskFlownet_sintel.yaml ft loss
+            fix_head=True,
+            compute_dtype="bfloat16",
+            target_shape=(ch, cw),
+            orig_shape=(coh, cow),
+            geo=geometry_aug_config("sintel", (ch, cw), (coh, cow)),
+            color=presets.color_aug_config("sintel"),
+        )
+        trainer_c = Trainer(settings_c)
+        crng = np.random.RandomState(5)
+        cbatches = [make_raw(cbatch, coh, cow, crng) for _ in range(4)]
+        ccounter = {"i": 0}
+
+        def craw_source():
+            b = cbatches[ccounter["i"] % len(cbatches)]
+            ccounter["i"] += 1
+            return b
+
+        cpf = DeviceBatchCache(craw_source, trainer_c.mesh, slots=4)
+        for _ in range(3):
+            m = trainer_c.train_batch_device(cpf.get(), lr=1e-4)
+        assert np.isfinite(float(m["loss"])), m
+        csps_runs = []
+        cpf.reset_stats()
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            for _ in range(WINDOW_STEPS):
+                m = trainer_c.train_batch_device(cpf.get(), lr=1e-4)
+            float(m["loss"])
+            csps_runs.append(
+                cbatch * WINDOW_STEPS / (time.perf_counter() - t0))
+        cconst = cpf.get()
+        cstep_ms, _ = _time_const_batch(trainer_c, cconst)
+        cpf.stop()
+
+        # native-shape cascade inference (sintel 436x1024 -> x64 pad),
+        # timed ON-CHIP: device-resident inputs, block on device outputs.
+        # (`do_batch` round-trips ~21 MB of images+flow over this rig's
+        # ~41 MB/s tunneled link per call -- that wire time is rig
+        # artifact, not model latency.)
+        import jax.numpy as jnp
+        inf1 = jnp.asarray(
+            np.random.RandomState(6).rand(1, coh, cow, 3).astype(np.float32))
+        inf2 = jnp.asarray(
+            np.random.RandomState(7).rand(1, coh, cow, 3).astype(np.float32))
+        infer_fn = trainer_c._infer_fn((coh, cow), None)
+        jax.block_until_ready(infer_fn(trainer_c.params, inf1, inf2))
+        t0 = time.perf_counter()
+        for _ in range(20):
+            out = infer_fn(trainer_c.params, inf1, inf2)
+        jax.block_until_ready(out)
+        infer_ms = (time.perf_counter() - t0) / 20 * 1e3
+        del trainer_c
+
+        cflops = _count_flops(settings_c, cconst, note="cascade b4")
+        csps = statistics.median(csps_runs)
+        cascade = {
+            "metric": "maskflownet_cascade_train_throughput_sintel_b4",
+            "samples_per_s": round(csps, 2),
+            "vs_baseline": round(csps / BASELINE_SAMPLES_PER_S, 3),
+            "sps_min": round(min(csps_runs), 2),
+            "sps_max": round(max(csps_runs), 2),
+            "step_ms": round(cstep_ms, 2),
+            "step_bound_sps": round(cbatch / cstep_ms * 1e3, 2),
+            "infer_native_ms_per_frame": round(infer_ms, 2),
+        }
+        if cflops:
+            cascade["flops_per_step_g"] = round(cflops / 1e9, 1)
+            if peak:
+                cascade["mfu"] = round(
+                    cflops / (cstep_ms * 1e-3) / (peak * 1e12), 4)
+    except Exception as e:  # noqa: BLE001
+        warnings.warn(f"cascade row failed: {e!r}")
 
     out = {
         "metric": "maskflownet_s_train_throughput_chairs_b8",
@@ -255,6 +384,7 @@ def main():
         "step_ms": round(step_ms, 2),
         "step_ms_spread": [round(x, 2) for x in step_runs],
         "step_ms_host_aug": round(step_ms_host, 2),
+        "batch_scaling": batch_scaling,
         "device": str(jax.devices()[0].device_kind),
     }
     if transfers is not None:
@@ -265,6 +395,8 @@ def main():
         out["mfu"] = round(mfu, 4)
     if mfu_train is not None:
         out["mfu_train_only"] = round(mfu_train, 4)
+    if cascade is not None:
+        out["cascade"] = cascade
     print(json.dumps(out))
     return 0
 

@@ -37,21 +37,30 @@ from maskflownet_tpu.training import Trainer, TrainSettings  # noqa: E402
 TH, TW, B = 320, 448, 8
 
 
-def time_pyramid(params, img1, img2, cfg, iters=50):
-    @jax.jit
-    def f(params, i1, i2):
+def time_pyramid(params, img1, img2, cfg, k=30, repeats=5):
+    """K-loop carried timing: on this tunneled backend, dispatch of a
+    non-donated program is fire-and-forget (block_until_ready returns
+    early), so honest numbers need K executions inside ONE dispatch with a
+    carried dependency; (t(2K)-t(K))/K cancels the RTT + drain."""
+    def body(i1):
         ctx = nn.apply_ctx(params, compute_dtype=jnp.bfloat16)
         c1s, c2s = _pyramid_pair(ctx, i1.astype(jnp.bfloat16),
-                                 i2.astype(jnp.bfloat16), cfg=cfg)
-        return [jnp.sum(jnp.abs(c)) for c in c1s + c2s]
+                                 img2.astype(jnp.bfloat16), cfg=cfg)
+        s = sum(jnp.sum(jnp.abs(c).astype(jnp.float32)) for c in c1s + c2s)
+        return i1 + (1e-12 * s).astype(i1.dtype)
 
-    r = f(params, img1, img2)
-    jax.block_until_ready(r)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        r = f(params, img1, img2)
-    jax.block_until_ready(r)
-    return (time.perf_counter() - t0) / iters * 1e3
+    def timed(kk):
+        run = jax.jit(lambda c: jax.lax.fori_loop(
+            0, kk, lambda i, c: body(c), c))
+        float(jnp.sum(run(img1)))
+        best = 1e9
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            float(jnp.sum(run(img1)))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return (timed(2 * k) - timed(k)) / k * 1e3
 
 
 def main():

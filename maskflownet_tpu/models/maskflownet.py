@@ -88,7 +88,11 @@ def resolve_dispatch(cfg: ModelConfig) -> ModelConfig:
         cfg = dataclasses.replace(cfg, s2d=tpu if v is None else v)
     if cfg.s2d_l2 is None:
         v = _env_flag("MFN_S2D_L2")
-        cfg = dataclasses.replace(cfg, s2d_l2=bool(v) and cfg.s2d)
+        # TPU default ON since the round-5 on-chip A/B (benchmarks/s2d_ab.py:
+        # host-aug step 32.16 -> 31.20 ms, pyramid-pair fwd 2.77 -> 2.45 ms
+        # over s2d level-1 alone; PERF.md)
+        cfg = dataclasses.replace(
+            cfg, s2d_l2=(tpu if v is None else v) and cfg.s2d)
     if cfg.dense is None:
         d = os.environ.get("MFN_DENSE") or ("pieces" if tpu else "concat")
         if d not in ("pieces", "concat"):
