@@ -77,6 +77,15 @@ def main(argv=None):
                         "Default: 'device' when --input cache (echoed "
                         "batches must not repeat identical geometry -- the "
                         "CLI applies the same auto rule), else 'host'.")
+    p.add_argument("--echo", type=int, default=None,
+                   help="CONTROLLED data echoing (VERDICT r4 #5): fetch a "
+                        "fresh wire batch every N steps and re-train on the "
+                        "resident batch in between (geometry+color stay "
+                        "fresh per step via the folded PRNG key -- requires "
+                        "--aug device). N=1 is the pure no-reuse path. "
+                        "Unlike --input cache, whose echo factor floats "
+                        "with the wire speed, this pins it exactly, so "
+                        "echo-1/8/64 runs are comparable.")
     p.add_argument("--viz", type=str, default=None,
                    help="write a mask-visualization PNG (img1 | GT occ | "
                         "learned mask) for the first validation pairs")
@@ -175,7 +184,15 @@ def main(argv=None):
         return (img1, img2, flow.astype(np.float16), mask)
 
     transform = raw if args.aug == "device" else host_aug
-    if args.input == "cache":
+    if args.echo:
+        if args.aug != "device":
+            raise SystemExit("--echo requires --aug device (an echoed batch "
+                             "must redraw geometry inside the step)")
+        # controlled echo rides the plain double-buffered prefetcher; the
+        # loop below re-uses each fetched device batch exactly N times
+        prefetch = DevicePrefetcher(loader.get, trainer.mesh, depth=2,
+                                    transform=transform)
+    elif args.input == "cache":
         prefetch = DeviceBatchCache(lambda: transform(loader.get()),
                                     trainer.mesh, slots=8)
     else:
@@ -254,8 +271,15 @@ def main(argv=None):
 
     t_train0 = time.time()
     t_spent_eval = 0.0
+    resident = None
     for step in range(1, args.steps + 1):
-        m = trainer.train_batch_device(prefetch.get(), lr=lr_for(step))
+        if args.echo:
+            if resident is None or (step - 1) % args.echo == 0:
+                resident = prefetch.get()
+            batch = resident
+        else:
+            batch = prefetch.get()
+        m = trainer.train_batch_device(batch, lr=lr_for(step))
         if step % args.eval_every == 0 or step == args.steps:
             te = time.time()
             msg = eval_point(step)
@@ -319,11 +343,15 @@ def main(argv=None):
         "val_pairs": args.val_pairs,
         "lr": args.lr,
         "lr_schedule": args.lr_schedule,
-        "input_path": ("TrainLoader+host_geo_aug+"
+        "input_path": ("TrainLoader+DevicePrefetcher+controlled_echo"
+                       if args.echo else
+                       "TrainLoader+host_geo_aug+"
                        + ("DeviceBatchCache" if args.input == "cache"
                           else "DevicePrefetcher")
                        + "+device_color_aug"),
-        "echo_factor": round(getattr(prefetch, "echo_factor", 0.0), 2),
+        "echo_controlled": args.echo,
+        "echo_factor": (float(args.echo) if args.echo else
+                        round(getattr(prefetch, "echo_factor", 0.0), 2)),
         "curve": curve,
         "epe0": curve[0][1],
         "final_epe": final,
