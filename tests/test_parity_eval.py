@@ -104,6 +104,40 @@ def test_parity_eval_end_to_end(tmp_path, eval_trees, capsys):
 
 
 @pytest.mark.slow
+def test_parity_eval_cascade_end_to_end(tmp_path, eval_trees, capsys):
+    """The flagship-cascade flavor of the harness (VERDICT r4 #7): a
+    5adNov03-shaped ``.params`` file through importer -> full MaskFlownet
+    cascade -> the published-row table. 5adNov03 is the reference's
+    headline checkpoint (/root/reference/weights/README.md:19)."""
+    sroot, split, kroot = eval_trees
+    gluon, _ = _gluon_checkpoint_for("MaskFlownet")
+    gluon = {k: v * 0.02 for k, v in gluon.items()}
+    ck = str(tmp_path / "5adNov03-0005_1000000.params")
+    imx.write_mxnet_params(ck, gluon)
+
+    summary = parity_eval.run(
+        ck, batch_size=2, samples=2,
+        sintel_root=str(sroot), sintel_split=str(split),
+        kitti_root=str(kroot), kitti_resize=(SW, SH))
+    out = capsys.readouterr().out
+
+    # cascade network + expectation auto-detected from the filename
+    assert summary["network"] == "MaskFlownet"
+    assert summary["expect"] == "5adNov03"
+    # 5adNov03 publishes no trainval row -> must not be evaluated
+    assert not any(k.startswith("sintel.trainval") for k in summary["results"])
+    for key in ("sintel.val.clean", "sintel.val.final", "kitti.2012.epe",
+                "kitti.2012.fl", "kitti.2015.epe", "kitti.2015.fl"):
+        assert key in summary["results"], key
+        assert np.isfinite(summary["results"][key])
+        assert key in summary["verdicts"]
+    # random weights vs published numbers: must FAIL loudly
+    assert summary["status"] == "fail" and summary["n_fail"] > 0
+    parsed = json.loads(out.strip().splitlines()[-1])
+    assert parsed["network"] == "MaskFlownet"
+
+
+@pytest.mark.slow
 def test_parity_eval_skips_missing_mounts(tmp_path, eval_trees):
     sroot, split, _ = eval_trees
     gluon, _ = _gluon_checkpoint_for("MaskFlownet_S")
