@@ -240,7 +240,10 @@ def test_two_process_real_model_step(tmp_path):
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=560)
+            # generous: a contended host can push the cold CPU compile of
+            # the full train step past 9 min (observed); the cascade twin
+            # below already budgets 1500s for the same reason
+            out, _ = p.communicate(timeout=1500)
         except subprocess.TimeoutExpired:
             p.kill()
             out, _ = p.communicate()
