@@ -28,6 +28,17 @@ def initialize_distributed(coordinator: str | None = None,
                                    process_id=process_id)
 
 
+def _rss_bytes():
+    try:
+        with open("/proc/self/status") as fp:
+            for line in fp:
+                if line.startswith("VmRSS"):
+                    return int(line.split()[1]) * 1024
+    except OSError:
+        pass
+    return None
+
+
 def make_mesh(devices=None) -> Mesh:
     """1-D data-parallel mesh over all (global) devices."""
     devices = np.asarray(devices if devices is not None else jax.devices())
@@ -54,6 +65,15 @@ class DevicePrefetcher:
 
     ``transform`` (optional) runs on the host thread before transfer (e.g.
     float16-casting flow labels to halve wire bytes).
+
+    A host-RSS watchdog warns when process memory grows in step with the
+    bytes this prefetcher has transferred: the tunneled PJRT client used on
+    this rig retains EVERY host->device transfer's bytes in client RSS
+    (measured 15 MB leaked per 15 MB batch over thousands of steps,
+    unaffected by ``jax.Array.delete`` or host-buffer reuse -- a
+    long no-reuse run OOMs the host). On such backends prefer
+    :class:`~maskflownet_tpu.data.DeviceBatchCache` (rare transfers; the
+    CLI default here); normally-attached TPU runtimes do not leak.
     """
 
     def __init__(self, source, mesh: Mesh, depth: int = 2, transform=None):
@@ -64,6 +84,9 @@ class DevicePrefetcher:
         self._mesh = mesh
         self._transform = transform
         self._stop = False
+        self._bytes_sent = 0
+        self._rss0 = _rss_bytes()
+        self._leak_warned = False
 
         def worker():
             while not self._stop:
@@ -77,6 +100,8 @@ class DevicePrefetcher:
                 if jax.process_count() == 1 and mesh.devices.size == 1:
                     dev = tuple(jax.device_put(x, mesh.devices.flat[0])
                                 for x in dev)
+                self._bytes_sent += sum(x.nbytes for x in batch)
+                self._check_leak()
                 # bounded put so stop() can interrupt a producer blocked on
                 # a full queue
                 while not self._stop:
@@ -88,6 +113,26 @@ class DevicePrefetcher:
 
         self._thread = threading.Thread(target=worker, daemon=True)
         self._thread.start()
+
+    def _check_leak(self):
+        """Warn once if host RSS tracks cumulative transferred bytes (the
+        tunneled-backend transfer leak documented in the class docstring)."""
+        if self._leak_warned or self._bytes_sent < 4 << 30:
+            return
+        rss = _rss_bytes()
+        if rss is not None and self._rss0 is not None \
+                and rss - self._rss0 > 0.8 * self._bytes_sent:
+            import warnings
+
+            self._leak_warned = True
+            warnings.warn(
+                f"host RSS grew {((rss - self._rss0) >> 20)} MB while this "
+                f"DevicePrefetcher transferred {self._bytes_sent >> 20} MB: "
+                "the PJRT client appears to retain every host->device "
+                "transfer (known behavior of the tunneled backend). A long "
+                "no-reuse run will exhaust host memory -- prefer the "
+                "device-cache input path (--device_cache) on this backend.",
+                stacklevel=2)
 
     def get(self):
         return self._q.get()

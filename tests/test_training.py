@@ -317,3 +317,47 @@ def test_mixed_shape_validation_two_buckets(trainer):
     # one bucket per dataset shape (predict/validate share buckets)
     new = len(trainer._infer_cache) - before
     assert new <= 2, trainer._infer_cache.keys()
+
+
+def test_device_prefetcher_roundtrip_and_leak_watchdog():
+    """DevicePrefetcher delivers transformed batches in order, and its
+    host-RSS watchdog (the tunneled-backend transfer-leak rail; see
+    parallel/mesh.py docstring) fires exactly once when memory growth
+    tracks cumulative transferred bytes, and never below the 4 GB floor."""
+    import warnings
+
+    from maskflownet_tpu.parallel import DevicePrefetcher
+    from maskflownet_tpu.parallel import mesh as mesh_mod
+
+    batches = [tuple(np.full((2, 4, 4, 3), i, np.float32) for _ in range(2))
+               for i in range(3)]
+    it = iter(batches + [None])
+    pf = DevicePrefetcher(lambda: next(it), make_mesh(), depth=2)
+    for i in range(3):
+        got = pf.get()
+        np.testing.assert_array_equal(np.asarray(got[0]),
+                                      batches[i][0])
+    assert pf.get() is None
+    assert pf._bytes_sent == sum(
+        sum(x.nbytes for x in b) for b in batches)
+    pf.stop()
+
+    # below the 4 GB transfer floor: silent even if RSS exploded
+    pf._rss0, pf._bytes_sent = 0, (1 << 30)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        pf._check_leak()
+
+    # past the floor with RSS tracking transfers: warn once, then stay quiet
+    pf._bytes_sent = 5 << 30
+    real_rss = mesh_mod._rss_bytes
+    mesh_mod._rss_bytes = lambda: 5 << 30
+    try:
+        with pytest.warns(UserWarning, match="retain every host->device"):
+            pf._check_leak()
+        assert pf._leak_warned
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            pf._check_leak()
+    finally:
+        mesh_mod._rss_bytes = real_rss
